@@ -1,0 +1,55 @@
+package graft.kernel
+
+import java.util.regex.Pattern
+
+/** Per-block content classifier.
+  *
+  * Port of `XMLOutputGenerator._detectar_tipo_documento`
+  * (reference src/utils/xml_output_generator.py:66-119): count regex hits
+  * per document-type pattern family over the lowercased text; the
+  * best-scoring family wins if it has >= 2 hits, else `documento_generico`.
+  * Ties break by family order (Python dict insertion order).
+  */
+object DocType {
+  import Py._
+
+  private def ps(rs: String*): Seq[Pattern] = rs.map(compile)
+
+  private val families: Seq[(String, Seq[Pattern])] = Seq(
+    "manifestacao_processual" -> ps(
+      """manifestação""",
+      """excelentíssimo""",
+      """meritíssimo""",
+      """processo.*n[uú]mero""",
+      """requerente""",
+      """requerido""",
+      """vara.*cível""",
+      """tribunal.*justiça"""),
+    "relatorio_administrador" -> ps(
+      """relatório.*administrador""",
+      """recuperação.*judicial""",
+      """administrador.*judicial""",
+      """quadro.*credores""",
+      """passivo.*ativo""",
+      """oab.*\d+""",
+      """irresignação"""),
+    "quadro_credores" -> ps(
+      """quadro.*geral.*credores""",
+      """classificação.*credor""",
+      """garantia.*real""",
+      """quirografário""",
+      """trabalhista""",
+      """valor.*crédito"""))
+
+  val Generic = "documento_generico"
+
+  def classify(text: String): String = {
+    val lowered = lower(text)
+    val scores = families.map { case (name, pats) =>
+      name -> pats.count(p => p.matcher(lowered).find())
+    }
+    val maxScore = scores.map(_._2).max
+    if (maxScore >= 2) scores.find(_._2 == maxScore).get._1
+    else Generic
+  }
+}
