@@ -1,24 +1,94 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.pipeline.{ExtractionJob, TranscriptGen}
+
+/** Benchmark harness. Prints ONE JSON line:
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
+  *  "throughput_turns_per_sec":...,"scaling":{...}}
+  *
+  * Measures (a) every SparkEntry query on SPARK_GRAFT_SF_DIR, (b) the
+  * extraction pipeline's turns/sec, and (c) the north-rule scaling check:
+  * the same extraction at N and 4N cores on identical input, with
+  * efficiency = (T_N / T_4N) / 4 (>= 0.8 target, BASELINE.md).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", math.max(cores, 8))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def runToNoop(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def extractionSeconds(spark: SparkSession, nConvs: Long): Double = {
+    val (_, sec) = time {
+      runToNoop(ExtractionJob.extract(TranscriptGen.dataset(spark, nConvs)).toDF())
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    sec
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS",
+      if (sfDir.contains("0.1")) "60000" else "6000").toLong
+
+    // ---- phase 1: query suite at full cores ----
+    var spark = session(cpus)
+    // warmup: JIT + codegen + parquet footer caches
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    runToNoop(ExtractionJob.extract(TranscriptGen.dataset(spark, 200)).toDF())
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sec =
+        try time(runToNoop(fn(spark, sfDir)))._2
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+        }
+      name -> sec
+    }
+
+    // ---- phase 2: extraction throughput at full cores ----
+    val totalTurns = TranscriptGen.totalTurns(benchConvs)
+    val tFull = extractionSeconds(spark, benchConvs)
+    val throughput = totalTurns / tFull
     spark.stop()
+
+    // ---- phase 3: scaling N vs 4N cores (north rule, local-mode proxy) ----
+    val loCores = math.max(cpus / 4, 1)
+    spark = session(loCores)
+    runToNoop(ExtractionJob.extract(TranscriptGen.dataset(spark, 200)).toDF()) // warm
+    val tLo = extractionSeconds(spark, benchConvs)
+    spark.stop()
+    val efficiency = (tLo / tFull) / (cpus.toDouble / loCores)
+
+    val qs = results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum + tFull
+    val scaling =
+      s"""{"cores_lo":$loCores,"sec_lo":${f"$tLo%.3f"},"cores_hi":$cpus,""" +
+        s""""sec_hi":${f"$tFull%.3f"},"efficiency":${f"$efficiency%.3f"}}"""
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","extract_turns":$totalTurns,""" +
+        s""""extract_sec":${f"$tFull%.3f"},""" +
+        s""""throughput_turns_per_sec":${f"$throughput%.1f"},""" +
+        s""""scaling":$scaling}""")
   }
 }

@@ -1,13 +1,392 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{ExtractionJob, TranscriptGen}
+
+/** Driver contract: named queries + DuckDB oracle SQL (SURVEY.md §2
+  * operator inventory). Numeric outputs avoid order-sensitive float
+  * accumulation (counts, integer-valued sums, decimal-exact sums cast to
+  * double) so Spark and DuckDB results hash-match exactly.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** exact decimal sum rendered as double — engine-agnostic */
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Flagship: the extraction pipeline end-to-end on a synthesized
+    * transcript table (north rule). Driver smoke-checks rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val turns = TranscriptGen.dataset(spark, nConvs = 50)
+    ExtractionJob.extract(turns)
+      .select($"conv_id", $"turn_idx", $"role", $"text_clean", $"doc_type",
+        $"conf_delta", $"patterns_detected", $"success")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans/aggregations (A1-A10): TPC-H Q1-style pricing summary ----
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- multiway join w/ broadcast dims (J1): region->nation->cust->orders
+    "q02_region_revenue" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val nation = broadcast(t(s, dir, "nation"))
+      val region = broadcast(t(s, dir, "region"))
+      orders
+        .join(customer, orders("o_custkey") === customer("c_custkey"))
+        .join(nation, customer("c_nationkey") === nation("n_nationkey"))
+        .join(region, nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("r_name"), col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("r_name"), col("o_orderstatus"))
+    }),
+
+    // ---- join + agg + top-k (W3/W4 sort-limit): top orders by revenue ----
+    "q03_top_orders" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val orders = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      orders
+        .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+        .join(li, orders("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- left semi join (J2 shape): orders with any heavy lineitem ----
+    "q04_priority_semi" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val heavy = t(s, dir, "lineitem").where(col("l_quantity") >= 48)
+      orders
+        .join(heavy, orders("o_orderkey") === heavy("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- left anti join (J2: the checkpoint/cache-miss shape) ----
+    "q05_cust_no_orders" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      cust
+        .join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ---- selective filter + narrow projection (P1-P3 pushdown) ----
+    "q06_filtered_sum" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp"))
+          && col("l_discount").between(0.02, 0.04)
+          && col("l_quantity") < 24)
+        .agg(
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            col("l_discount").cast(DecimalType(4, 2))).cast("double").as("promo_revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // ---- window function (W1/W4): top-3 orders per customer ----
+    "q07_top_orders_per_cust" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+        .where(col("o_custkey") <= 200) // bounded output for the compare
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // ---- sessionization (W2 lag + streaming-analytic shape) ----
+    "q08_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts").cast("timestamp")), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts").cast("timestamp")) - col("prev_us") > 1800000000L, 1).otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(col("new_session")).cast("long").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- event-time daily rollup (streaming batch analog, A4/A6) ----
+    "q09_events_daily" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("value")).as("total_value"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
+    // ---- distinct / dedup-lite (set ops §2.7) ----
+    "q10_distinct_users" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- text stats: token counting (training-data ops) ----
+    "q11_doc_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          col("n_chars"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- language-ID heuristic ----
+    "q12_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("detected"))
+        .groupBy(col("lang"), col("detected"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("detected"))
+    }),
+
+    // ---- quality scoring ----
+    "q13_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(TextAnalysis.qualityBucket(col("text")).as("quality"))
+        .groupBy(col("quality"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("quality"))
+    }),
+
+    // ---- document fingerprinting (F15 content hash) ----
+    "q14_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+        .limit(100)
+    }),
+
+    // ---- exact dedup ----
+    "q15_dedup_exact" -> ((s, dir) => {
+      val d = Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+      d.agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("dup_count")).cast("long").as("n_docs"),
+        sum(when(col("dup_count") > 1, 1).otherwise(0)).cast("long").as("n_dup_groups"))
+    }),
+
+    // ---- brute-force cosine top-k (similarity baseline) ----
+    "q16_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).first().getSeq[Float](0).toArray
+      val top = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10)
+      top.withColumn("rank",
+        row_number().over(Window.orderBy(col("cosine").desc, col("id"))))
+        .select(col("rank"), col("id").as("vec_id"))
+        .orderBy(col("rank"))
+    }),
+
+    // ================= rows-only checks (not SQL-expressible) ============
+    // extraction pipeline per-turn output (verified vs reference goldens in
+    // sbt test; DuckDB cannot replicate the CPython-semantics kernel)
+    "x01_extract_turns" -> ((s, dir) => {
+      val scale = if (dir.contains("0.1")) 400 else 120
+      ExtractionJob.extract(TranscriptGen.dataset(s, scale))
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("text_clean"),
+          col("doc_type"), col("conf_delta"), col("patterns_detected"), col("success"))
+    }),
+    // conversation assembly under stable turn ordering (A7/A8/W1)
+    "x02_assemble" -> ((s, dir) => {
+      val scale = if (dir.contains("0.1")) 400 else 120
+      ExtractionJob.classifyConversations(
+        ExtractionJob.assemble(
+          ExtractionJob.extract(TranscriptGen.dataset(s, scale))))
+        .select(col("conv_id"), col("n_turns"), md5(col("full_text")).as("text_md5"),
+          col("doc_type"), col("first_turn"), col("last_turn"))
+    }),
+    // MinHash+LSH near-dup over documents ∪ mutated copies (guaranteed dups)
+    "x03_minhash_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = docs.where(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" extra tail token")).as("text"))
+      Dedup.minHashNearDups(docs.union(copies), "doc_id", "text")
+    }),
+    // SimHash near-dup, same construction
+    "x04_simhash_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = docs.where(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" tailword")).as("text"))
+      Dedup.simHashNearDups(docs.union(copies), "doc_id", "text")
+    }),
+    // LSH-bucketed approximate top-k (scale path of q16)
+    "x05_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).first().getSeq[Float](0).toArray
+      Similarity.lshTopK(emb, "vec_id", "embedding", q, 10)
+    }),
+    // embedding-cosine near-dup via hyperplane LSH
+    "x06_embed_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val copies = emb.where(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      Dedup.embeddingNearDups(emb.union(copies), "vec_id", "embedding", minCosine = 0.99)
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_region_revenue" ->
+      """SELECT r_name, o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, o_orderstatus
+        |ORDER BY r_name, o_orderstatus""".stripMargin,
+
+    "q03_top_orders" ->
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q04_priority_semi" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q05_cust_no_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q06_filtered_sum" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS promo_revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin,
+
+    "q07_top_orders_per_cust" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 AND o_custkey <= 200
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q08_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events)
+        |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q09_events_daily" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q10_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q11_doc_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT) AS total_tokens,
+        |  max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q12_langid" ->
+      s"""SELECT lang, ${TextAnalysis.langIdSql("text")} AS detected, count(*) AS n
+         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q13_quality" ->
+      s"""SELECT ${TextAnalysis.qualityBucketSql("text")} AS quality, count(*) AS n
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_fingerprint" ->
+      s"""SELECT doc_id, ${TextAnalysis.fingerprintSql("text")} AS fp
+         |FROM documents ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "q15_dedup_exact" ->
+      s"""WITH g AS (
+         |  SELECT ${TextAnalysis.fingerprintSql("text")} AS fp,
+         |         min(doc_id) AS keep_id, count(*) AS dup_count
+         |  FROM documents GROUP BY 1)
+         |SELECT count(*) AS n_groups, CAST(sum(dup_count) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN dup_count > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+         |FROM g""".stripMargin,
+
+    "q16_ann_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |s AS (
+        |  SELECT e.vec_id,
+        |    list_cosine_similarity(e.embedding, q.qe) AS sim
+        |  FROM embeddings e, q)
+        |SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rank, vec_id
+        |FROM s ORDER BY rank LIMIT 10""".stripMargin)
 }

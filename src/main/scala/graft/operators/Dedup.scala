@@ -1,0 +1,257 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.TranscriptGen.sm64
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH
+  * (shingle → minhash → band → bucket self-join → exact-Jaccard verify),
+  * SimHash (hamming-band join), and embedding-cosine near-dup.
+  *
+  * Scale notes: all near-dup paths are LSH-bucketed — candidate generation
+  * is a shuffle on band keys (bounded bucket width), never an O(n²)
+  * cross-join. Verification joins only candidate pairs back to features.
+  */
+object Dedup {
+
+  // ---------- exact ----------
+
+  /** Exact dedup on normalized-text fingerprint: keeper = min(id) per
+    * fingerprint; one shuffle (hash agg with map-side partials).
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(
+        min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("dup_count"))
+
+  // ---------- shared hashing (pure, deterministic) ----------
+
+  /** FNV-1a 64-bit over UTF-8 bytes, finalized with splitmix64 — stable
+    * across JVMs and partitions (no String.hashCode reliance).
+    */
+  def hash64(s: String): Long = {
+    var h = 0xCBF29CE484222325L
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001B3L
+      i += 1
+    }
+    sm64(h)
+  }
+
+  /** word k-shingles of lowercased whitespace-tokenized text */
+  def shingles(text: String, k: Int): Set[Long] = {
+    val toks = graft.kernel.Py.splitWs(text.toLowerCase(java.util.Locale.ROOT))
+    if (toks.length < k) Set(hash64(toks.mkString(" ")))
+    else toks.sliding(k).map(w => hash64(w.mkString(" "))).toSet
+  }
+
+  def jaccard(a: Set[Long], b: Set[Long]): Double =
+    if (a.isEmpty && b.isEmpty) 1.0
+    else (a intersect b).size.toDouble / (a union b).size
+
+  // ---------- MinHash + LSH ----------
+
+  final case class MinHashParams(
+      numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+      threshold: Double = 0.6, maxBucket: Int = 64)
+
+  def minHashSignature(sh: Set[Long], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    sh.foreach { h =>
+      var i = 0
+      while (i < numHashes) {
+        val v = sm64(h ^ sm64(0x5DEECE66DL + i))
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    sig
+  }
+
+  final case class DocSig(id: Long, sig: Array[Long], nShingles: Int)
+
+  /** Candidate pairs via LSH banding + exact-Jaccard verification.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    */
+  def minHashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      p: MinHashParams = MinHashParams()): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(p.numHashes % p.bands == 0, "bands must divide numHashes")
+    val rowsPerBand = p.numHashes / p.bands
+
+    val docs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+
+    // shingle-set cache: (id, shingles) reused for signature AND verify
+    val shingled = docs.mapPartitions(_.map { case (id, text) =>
+      (id, shingles(Option(text).getOrElse(""), p.shingleSize).toArray)
+    }).toDF("id", "sh")
+    shingled.persist()
+
+    val sigs = shingled.as[(Long, Array[Long])].mapPartitions(_.map {
+      case (id, sh) => DocSig(id, minHashSignature(sh.toSet, p.numHashes), sh.length)
+    })
+
+    // band exploding: (band, bandKey) -> id
+    val banded = sigs.flatMap { d =>
+      (0 until p.bands).iterator.map { b =>
+        val from = b * rowsPerBand
+        var key = 0xCBF29CE484222325L
+        var i = from
+        while (i < from + rowsPerBand) { key = sm64(key ^ d.sig(i)); i += 1 }
+        (b, key, d.id)
+      }
+    }.toDF("band", "key", "id")
+
+    // bucket self-pairing with a width cap (protects against degenerate
+    // buckets — the skew guard); groupBy is one shuffle on (band, key)
+    val pairs = banded
+      .groupBy("band", "key")
+      .agg(collect_list("id").as("ids"))
+      .where(size(col("ids")).between(2, p.maxBucket))
+      .select(explode(expr(
+        "flatten(transform(ids, a -> transform(ids, b -> named_struct('a', a, 'b', b))))"))
+        .as("pr"))
+      .select(col("pr.a").as("id_a"), col("pr.b").as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .distinct()
+
+    // verify candidates with exact jaccard over cached shingle sets
+    val verifyUdf = udf((a: Seq[Long], b: Seq[Long]) => jaccard(a.toSet, b.toSet))
+    val out = pairs
+      .join(shingled.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(shingled.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", verifyUdf(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= p.threshold)
+      .select("id_a", "id_b", "jaccard")
+    out
+  }
+
+  /** Exact-Jaccard brute force for tests (O(n²) — small inputs only). */
+  def bruteForceJaccardPairs(
+      docs: Seq[(Long, String)], shingleSize: Int, threshold: Double): Seq[(Long, Long, Double)] = {
+    val sh = docs.map { case (id, t) => id -> shingles(t, shingleSize) }
+    for {
+      i <- sh.indices
+      j <- (i + 1) until sh.size
+      ja = jaccard(sh(i)._2, sh(j)._2)
+      if ja >= threshold
+    } yield {
+      val (a, b) = (math.min(sh(i)._1, sh(j)._1), math.max(sh(i)._1, sh(j)._1))
+      (a, b, ja)
+    }
+  }
+
+  // ---------- SimHash ----------
+
+  /** 64-bit SimHash over word-unigram hashes (weight = occurrence count). */
+  def simHash(text: String): Long = {
+    val toks = graft.kernel.Py.splitWs(
+      Option(text).getOrElse("").toLowerCase(java.util.Locale.ROOT))
+    if (toks.isEmpty) return 0L
+    val acc = new Array[Int](64)
+    toks.foreach { t =>
+      val h = hash64(t)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+        i += 1
+      }
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (acc(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** SimHash near-dups: 4×16-bit chunk banding (any pair within hamming
+    * distance ≤ 3 shares at least one exact chunk by pigeonhole), verified
+    * by exact hamming distance.
+    */
+  def simHashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sigs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, simHash(t)) })
+      .toDF("id", "sig")
+    sigs.persist()
+
+    val banded = sigs.as[(Long, Long)].flatMap { case (id, sig) =>
+      (0 until 4).iterator.map(c => (c, (sig >>> (c * 16)) & 0xffffL, id, sig))
+    }.toDF("chunk", "key", "id", "sig")
+
+    val pairs = banded
+      .groupBy("chunk", "key")
+      .agg(collect_list(struct(col("id"), col("sig"))).as("xs"))
+      .where(size(col("xs")).between(2, maxBucket))
+      .select(explode(expr(
+        "flatten(transform(xs, a -> transform(xs, b -> named_struct('a', a, 'b', b))))")).as("pr"))
+      .select(
+        col("pr.a.id").as("id_a"), col("pr.a.sig").as("sig_a"),
+        col("pr.b.id").as("id_b"), col("pr.b.sig").as("sig_b"))
+      .where(col("id_a") < col("id_b"))
+      .distinct()
+
+    val hammingUdf = udf((a: Long, b: Long) => hamming(a, b))
+    pairs
+      .withColumn("hamming", hammingUdf(col("sig_a"), col("sig_b")))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ---------- embedding cosine near-dup ----------
+
+  /** Near-duplicate embeddings via hyperplane-LSH candidates + exact cosine
+    * verify; see Similarity.hyperplaneBuckets for the bucketing.
+    */
+  def embeddingNearDups(
+      df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double = 0.95, numPlanes: Int = 16, maxBucket: Int = 512): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val planes = Similarity.randomPlanes(numPlanes, dim, seed = 42L)
+    val bp = spark.sparkContext.broadcast(planes)
+
+    val sigs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val ps = bp.value
+        it.map { case (id, v) =>
+          val arr = v.toArray
+          (id, Similarity.bucketOf(arr, ps), arr)
+        }
+      }.toDF("id", "bucket", "v")
+
+    val pairs = sigs
+      .groupBy("bucket")
+      .agg(collect_list(struct(col("id"), col("v"))).as("xs"))
+      .where(size(col("xs")).between(2, maxBucket))
+      .select(explode(expr(
+        "flatten(transform(xs, a -> transform(xs, b -> named_struct('a', a, 'b', b))))")).as("pr"))
+      .select(
+        col("pr.a.id").as("id_a"), col("pr.a.v").as("v_a"),
+        col("pr.b.id").as("id_b"), col("pr.b.v").as("v_b"))
+      .where(col("id_a") < col("id_b"))
+      .distinct()
+
+    val cosUdf = udf((a: Seq[Float], b: Seq[Float]) =>
+      Similarity.cosine(a.toArray, b.toArray))
+    pairs
+      .withColumn("cosine", cosUdf(col("v_a"), col("v_b")))
+      .where(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,160 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.schema.{ExtractedTurn, Turn}
+
+/** Checkpointed, resumable extraction — the Iceberg-snapshot stand-in
+  * (SURVEY.md §7.0: no Iceberg jars in the sandbox).
+  *
+  * Semantics mirror the reference's content-hash result cache
+  * (cache_manager.py:119-277): work already committed is never recomputed.
+  * Layout:
+  *
+  *   outDir/data/part_id=K/ (parquet)  -- bucket K's extracted rows
+  *   outDir/manifests/part-K.json      -- atomic commit marker + lineage
+  *
+  * A bucket is `pmod(hash(conv_id), numBuckets)` so every conversation
+  * lands wholly in one bucket (resume never splits a conversation).
+  * Manifests are committed via tmp-file + atomic rename AFTER the bucket
+  * group's data is fully written; a crash mid-group leaves no manifest and
+  * the group is recomputed on resume. Completed buckets are skipped by a
+  * bucket-level predicate (cheaper than the row-level left_anti join for
+  * partition-granularity resume; the join form is only needed for row-level
+  * caching, which the reference does per document = per conversation =
+  * contained in one bucket).
+  */
+object Checkpoint {
+
+  final case class Manifest(
+      partId: Int,
+      rows: Long,
+      bytes: Long,
+      runId: String,
+      committedAtEpochMs: Long,
+      lineage: String)
+
+  private def manifestPath(outDir: String, partId: Int): Path =
+    Paths.get(outDir, "manifests", s"part-$partId.json")
+
+  private def dataDir(outDir: String): String = s"$outDir/data"
+
+  def writeManifest(outDir: String, m: Manifest): Unit = {
+    val dir = Paths.get(outDir, "manifests")
+    Files.createDirectories(dir)
+    val json =
+      s"""{"partId":${m.partId},"rows":${m.rows},"bytes":${m.bytes},""" +
+        s""""runId":"${m.runId}","committedAtEpochMs":${m.committedAtEpochMs},""" +
+        s""""lineage":"${m.lineage.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
+    val tmp = dir.resolve(s".part-${m.partId}.json.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(outDir, m.partId),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readManifest(outDir: String, partId: Int): Option[Manifest] = {
+    val p = manifestPath(outDir, partId)
+    if (!Files.exists(p)) None
+    else {
+      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      import org.json4s._
+      val j = org.json4s.jackson.JsonMethods.parse(s)
+      def l(f: String): Long = (j \ f) match {
+        case JInt(i) => i.toLong; case JLong(i) => i; case _ => 0L
+      }
+      def str(f: String): String = (j \ f) match {
+        case JString(v) => v; case _ => ""
+      }
+      Some(Manifest(l("partId").toInt, l("rows"), l("bytes"), str("runId"),
+        l("committedAtEpochMs"), str("lineage")))
+    }
+  }
+
+  def completedBuckets(outDir: String, numBuckets: Int): Seq[Int] =
+    (0 until numBuckets).filter(k => Files.exists(manifestPath(outDir, k)))
+
+  private def dirBytes(dir: Path): Long =
+    if (!Files.exists(dir)) 0L
+    else Files.walk(dir).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(Files.size).sum
+
+  /** Run the extraction resumably. Returns the manifests committed in THIS
+    * run (already-completed buckets are skipped entirely — their input rows
+    * are never read thanks to the bucket predicate).
+    *
+    * `groupSize` buckets are processed per Spark job: small enough that a
+    * crash loses bounded work, large enough to amortize job overhead. At
+    * cluster scale numBuckets ≈ thousands and groupSize ≈ executors*4.
+    */
+  def run(
+      turns: Dataset[Turn],
+      outDir: String,
+      numBuckets: Int,
+      runId: String,
+      lineage: String = "",
+      groupSize: Int = 8,
+      saltBuckets: Int = 0): Seq[Manifest] = {
+    val spark = turns.sparkSession
+    val done = completedBuckets(outDir, numBuckets).toSet
+    val todo = (0 until numBuckets).filterNot(done)
+    val committed = scala.collection.mutable.ListBuffer.empty[Manifest]
+
+    todo.grouped(groupSize).foreach { group =>
+      val withBucket = turns
+        .withColumn("part_id", pmod(hash(col("conv_id")), lit(numBuckets)))
+        .where(col("part_id").isin(group: _*))
+      import spark.implicits._
+      val bucketed = withBucket.as[TurnWithBucket]
+      val extracted = bucketed.mapPartitions { it =>
+        val kernel = new graft.kernel.TextKernel
+        it.map { tb =>
+          val e = ExtractionJob.processTurn(kernel, tb.toTurn)
+          ExtractedWithBucket(e, tb.part_id)
+        }
+      }
+      // flatten: one parquet dir per bucket via dynamic partition write
+      val flat = extracted
+        .select(col("e.*"), col("part_id"))
+      flat.write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part_id")
+        .parquet(dataDir(outDir))
+      // data for the whole group is durable; now commit each bucket
+      group.foreach { k =>
+        val dir = Paths.get(dataDir(outDir), s"part_id=$k")
+        val rows =
+          if (Files.exists(dir))
+            spark.read.parquet(dir.toString).count() // parquet metadata count
+          else 0L
+        val m = Manifest(k, rows, dirBytes(dir), runId,
+          System.currentTimeMillis(), lineage)
+        writeManifest(outDir, m)
+        committed += m
+      }
+    }
+    committed.toSeq
+  }
+
+  /** Read back only committed buckets. */
+  def readResult(spark: SparkSession, outDir: String, numBuckets: Int): DataFrame = {
+    val done = completedBuckets(outDir, numBuckets)
+    val dirs = done.map(k => s"${dataDir(outDir)}/part_id=$k")
+      .filter(d => Files.exists(Paths.get(d)))
+    if (dirs.isEmpty) spark.emptyDataFrame
+    else spark.read.option("basePath", dataDir(outDir)).parquet(dirs: _*)
+  }
+
+  final case class TurnWithBucket(
+      conv_id: String, turn_idx: Int, role: String, text: String,
+      tool: String, ts: java.sql.Timestamp, part_id: Int) {
+    def toTurn: Turn = Turn(conv_id, turn_idx, role, text, tool, ts)
+  }
+  final case class ExtractedWithBucket(e: ExtractedTurn, part_id: Int)
+}

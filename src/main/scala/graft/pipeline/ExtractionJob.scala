@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.kernel.{DocType, SpanTemplates, TextKernel}
+import graft.schema.{ExtractedTurn, Span, Turn}
+
+/** The core extraction pipeline:
+  *
+  *   scan(transcripts) → [salted repartition] → mapPartitions(kernel pooled
+  *   per partition) → per-turn ExtractedTurn rows → (optionally) windowed
+  *   conversation assembly.
+  *
+  * Spark-first design notes (SURVEY.md §4.3):
+  *   - the kernel is per-turn and stateless across rows, so the map stage is
+  *     narrow; pooled `TextKernel`/template instances per partition replace
+  *     the reference's per-instance compiled-regex caching
+  *     (templates.py:60-67) — the north rule's "pooled parser instances".
+  *   - skew (giant conversations) only matters for per-conversation
+  *     aggregation; `assemble` uses a single hash aggregation with
+  *     `sort_array(collect_list(struct(...)))` — partial (map-side) merge
+  *     works, so a 1M-turn conversation contributes partial buffers from
+  *     many tasks rather than serializing through one. For pathological
+  *     cases `saltBuckets` pre-spreads rows.
+  *   - everything except the kernel stays in whole-stage codegen.
+  */
+object ExtractionJob {
+
+  /** Per-turn extraction. `saltBuckets > 1` adds an explicit salted
+    * repartition on (conv_id, salt) — used when the input layout clusters a
+    * giant conversation into few input splits (the analog of the
+    * reference's 50-page PDF split, REAL.py:709-774).
+    */
+  def extract(turns: Dataset[Turn], saltBuckets: Int = 0): Dataset[ExtractedTurn] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val pre =
+      if (saltBuckets > 1)
+        turns.repartition(col("conv_id"), pmod(hash(col("turn_idx")), lit(saltBuckets)))
+      else turns
+    pre.mapPartitions { it =>
+      // pooled per-partition instances (compile regexes once per task)
+      val kernel = new TextKernel
+      it.map(processTurn(kernel, _))
+    }
+  }
+
+  /** Pure per-row transform — exposed for oracle tests. */
+  def processTurn(kernel: TextKernel, t: Turn): ExtractedTurn = {
+    kernel.processSafe(t.text) match {
+      case Some(res) =>
+        val tpl = SpanTemplates.identify(res.text)
+        val spans = tpl.map(_.extractFields(res.text)).getOrElse(Seq.empty)
+          .map(f => Span(f.name, f.value, f.confidence, f.start, f.end, f.raw))
+        ExtractedTurn(
+          conv_id = t.conv_id, turn_idx = t.turn_idx, role = t.role,
+          tool = t.tool,
+          text_clean = res.text,
+          doc_type = DocType.classify(res.text),
+          template = tpl.map(_.name),
+          spans = spans,
+          patterns = res.metrics.patternsFound.map { case (k, v) => k -> v },
+          conf_delta = res.metrics.confidenceImprovement,
+          original_length = res.metrics.originalLength,
+          processed_length = res.metrics.processedLength,
+          words_corrected = res.metrics.wordsCorrected,
+          patterns_detected = res.metrics.patternsDetected,
+          success = true, error_message = None)
+      case None =>
+        ExtractedTurn(
+          conv_id = t.conv_id, turn_idx = t.turn_idx, role = t.role,
+          tool = t.tool,
+          text_clean = "", doc_type = DocType.Generic, template = None,
+          spans = Seq.empty, patterns = Map.empty,
+          conf_delta = 0.0,
+          original_length = if (t.text == null) 0 else t.text.length,
+          processed_length = 0, words_corrected = 0, patterns_detected = 0,
+          success = false,
+          error_message = Some("empty or null text"))
+    }
+  }
+
+  /** Conversation-level assembly: the reference's `'\n\n'.join(pages)` in
+    * stable page order (tesseract_engine.py:253, multi_engine.py:588) →
+    * one hash aggregation; order restored by sort_array over
+    * struct(turn_idx, …) — NOT a window, so map-side partial aggregation
+    * applies and giant conversations don't serialize through one task.
+    */
+  def assemble(extracted: Dataset[ExtractedTurn]): DataFrame = {
+    extracted
+      .where(col("success"))
+      .groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("turn_idx"), col("text_clean")))),
+            x => x.getField("text_clean")),
+          "\n\n").as("full_text"),
+        avg(col("conf_delta")).as("avg_conf_delta"),
+        sum(col("patterns_detected")).as("total_patterns"),
+        min(col("turn_idx")).as("first_turn"),
+        max(col("turn_idx")).as("last_turn"))
+  }
+
+  /** Doc-level classification over the assembled text (the reference
+    * classifies whole documents: xml_output_generator.py:66-119).
+    */
+  def classifyConversations(assembled: DataFrame): DataFrame = {
+    val spark = assembled.sparkSession
+    import spark.implicits._
+    val classify = udf((s: String) => DocType.classify(s))
+    assembled.withColumn("doc_type", classify(col("full_text")))
+  }
+}

@@ -1,0 +1,195 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.json4s._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kernel.TextKernel
+import graft.schema.{ExtractedTurn, Turn}
+
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-pipeline-spec")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private lazy val goldenTexts: Set[String] = {
+    val in = getClass.getResourceAsStream("/graft/golden_kernel.json")
+    val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    val json = org.json4s.jackson.JsonMethods.parse(s)
+    (json \ "rows").asInstanceOf[JArray].arr.map { r =>
+      (r \ "text") match { case JString(t) => t; case _ => "" }
+    }.toSet
+  }
+
+  test("generator parity with the python fixture generator (bit-identical)") {
+    // tools/gen_goldens.py generated texts for conv<40, turn<min(turns,30);
+    // every Scala-generated text for the same coordinates must be in the
+    // golden corpus (proving splitmix64 + fragment parity).
+    var checked = 0
+    (0L until 40L).foreach { conv =>
+      (0 until math.min(TranscriptGen.convTurns(conv), 30)).foreach { turn =>
+        val t = TranscriptGen.turnText(conv, turn)
+        assert(goldenTexts.contains(t), s"conv=$conv turn=$turn text not in goldens: ${t.take(60)}")
+        checked += 1
+      }
+    }
+    info(s"$checked generated texts matched python generator output")
+    assert(checked > 600)
+  }
+
+  test("generator dataset: schema, counts, ordering keys, heavy tail") {
+    val n = 120
+    val ds = TranscriptGen.dataset(spark, n)
+    val rows = ds.collect()
+    val expectedTotal = TranscriptGen.totalTurns(n)
+    assert(rows.length == expectedTotal)
+    val byConv = rows.groupBy(_.conv_id)
+    assert(byConv.size == n)
+    // turn_idx dense 0..k-1 per conversation
+    byConv.foreach { case (c, ts) =>
+      assert(ts.map(_.turn_idx).sorted.sameElements(0 until ts.length), c)
+    }
+    // heavy tail: conv 0 and conv 97 are 50x
+    assert(byConv("conv00000000").length >= 200)
+    assert(byConv("conv00000097").length >= 200)
+    // ts monotone within conversation
+    byConv.foreach { case (c, ts) =>
+      val sorted = ts.sortBy(_.turn_idx)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(!b.ts.before(a.ts), c)
+        case _           =>
+      }
+    }
+  }
+
+  test("extraction matches the kernel applied per turn (distributed = local)") {
+    val sp = spark; import sp.implicits._
+    val ds = TranscriptGen.dataset(spark, 30)
+    val out = ExtractionJob.extract(ds).collect()
+    val kernel = new TextKernel
+    val inputs = ds.collect().map(t => (t.conv_id, t.turn_idx) -> t).toMap
+    assert(out.length == inputs.size)
+    out.foreach { e =>
+      val t = inputs((e.conv_id, e.turn_idx))
+      val expected = kernel.process(t.text)
+      assert(e.text_clean == expected.text,
+        s"distributed != local for ${e.conv_id}/${e.turn_idx}")
+      assert(e.conf_delta == expected.metrics.confidenceImprovement)
+      assert(e.success)
+    }
+  }
+
+  test("error rows: empty text becomes success=false row, not an exception") {
+    val sp = spark; import sp.implicits._
+    val ts = java.sql.Timestamp.from(java.time.Instant.EPOCH)
+    val ds = spark.createDataset(Seq(
+      Turn("c1", 0, "user", "texto normal valido aqui", "", ts),
+      Turn("c1", 1, "assistant", "", "", ts),
+      Turn("c1", 2, "tool", null, "search", ts)))
+    val out = ExtractionJob.extract(ds).collect().sortBy(_.turn_idx)
+    assert(out.length == 3)
+    assert(out(0).success)
+    assert(!out(1).success && out(1).error_message.isDefined)
+    assert(!out(2).success)
+  }
+
+  test("salting invariance: output independent of salt bucket count") {
+    val sp = spark; import sp.implicits._
+    val ds = TranscriptGen.dataset(spark, 25)
+    def norm(rows: Array[ExtractedTurn]) =
+      rows.map(e => (e.conv_id, e.turn_idx, e.text_clean, e.conf_delta))
+        .sortBy(r => (r._1, r._2)).toSeq
+    val base = norm(ExtractionJob.extract(ds, saltBuckets = 0).collect())
+    val salted = norm(ExtractionJob.extract(ds, saltBuckets = 8).collect())
+    val salted64 = norm(ExtractionJob.extract(ds, saltBuckets = 64).collect())
+    assert(base == salted)
+    assert(base == salted64)
+  }
+
+  test("assembly: stable turn ordering regardless of input row order") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val ds = TranscriptGen.dataset(spark, 12)
+    // shuffle input rows deliberately
+    val shuffled = ds.orderBy(hash(col("turn_idx"), col("conv_id"))).as[Turn]
+    val extracted = ExtractionJob.extract(shuffled)
+    val assembled = ExtractionJob.assemble(extracted).collect()
+      .map(r => r.getAs[String]("conv_id") -> r).toMap
+
+    val kernel = new TextKernel
+    val expected = ds.collect().groupBy(_.conv_id).map { case (c, ts) =>
+      c -> ts.sortBy(_.turn_idx).map(t => kernel.process(t.text).text).mkString("\n\n")
+    }
+    expected.foreach { case (c, fullText) =>
+      val row = assembled(c)
+      assert(row.getAs[String]("full_text") == fullText, s"conv $c assembly mismatch")
+      assert(row.getAs[Long]("n_turns") == TranscriptGen.convTurns(c.stripPrefix("conv").toLong))
+    }
+    assert(assembled.size == 12)
+  }
+
+  test("checkpoint: resume skips completed buckets, final result identical") {
+    val sp = spark; import sp.implicits._
+    val outDir = Files.createTempDirectory("graft-ckpt").toString
+    val ds = TranscriptGen.dataset(spark, 40)
+    val numBuckets = 8
+
+    // full run
+    val run1 = Checkpoint.run(ds, outDir, numBuckets, runId = "run-1", groupSize = 3)
+    assert(run1.map(_.partId).sorted == (0 until numBuckets))
+    val full = Checkpoint.readResult(spark, outDir, numBuckets)
+    val fullCount = full.count()
+    assert(fullCount == TranscriptGen.totalTurns(40))
+
+    // simulate crash: delete 2 manifests (data may or may not survive)
+    Seq(2, 5).foreach { k =>
+      Files.delete(Paths.get(outDir, "manifests", s"part-$k.json"))
+    }
+    assert(Checkpoint.completedBuckets(outDir, numBuckets).size == numBuckets - 2)
+
+    // resume run: only buckets 2 and 5 recomputed
+    val run2 = Checkpoint.run(ds, outDir, numBuckets, runId = "run-2", groupSize = 3)
+    assert(run2.map(_.partId).sorted == Seq(2, 5))
+    // untouched manifests keep run-1
+    (0 until numBuckets).filterNot(Seq(2, 5).contains).foreach { k =>
+      assert(Checkpoint.readManifest(outDir, k).get.runId == "run-1", s"bucket $k recomputed")
+    }
+    assert(Checkpoint.readManifest(outDir, 2).get.runId == "run-2")
+
+    val resumed = Checkpoint.readResult(spark, outDir, numBuckets)
+    assert(resumed.count() == fullCount)
+    // content identical to a direct extraction
+    val direct = ExtractionJob.extract(ds).collect()
+      .map(e => (e.conv_id, e.turn_idx, e.text_clean)).sortBy(r => (r._1, r._2)).toSeq
+    val fromCkpt = resumed.select("conv_id", "turn_idx", "text_clean").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).sortBy(r => (r._1, r._2)).toSeq
+    assert(fromCkpt == direct)
+
+    // manifests carry row counts that add up
+    val manifestRows = (0 until numBuckets)
+      .flatMap(Checkpoint.readManifest(outDir, _)).map(_.rows).sum
+    assert(manifestRows == fullCount)
+  }
+
+  test("partition-count invariance: same output at 2 and 16 input partitions") {
+    val a = ExtractionJob.extract(TranscriptGen.dataset(spark, 15, partitions = 2)).collect()
+    val b = ExtractionJob.extract(TranscriptGen.dataset(spark, 15, partitions = 16)).collect()
+    def norm(rows: Array[ExtractedTurn]) =
+      rows.map(e => (e.conv_id, e.turn_idx, e.text_clean)).sortBy(r => (r._1, r._2)).toSeq
+    assert(norm(a) == norm(b))
+  }
+}

@@ -69,7 +69,7 @@ def sm64(x):
     z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M
     return (z ^ (z >> 31)) & M
 
-FRAGMENTS = json.load(open(REPO / "tools/fragments.json"))
+FRAGMENTS = json.load(open(REPO / "src/main/resources/graft/fragments.json"))
 NF = len(FRAGMENTS)
 
 def turn_text(conv, turn):
