@@ -96,9 +96,9 @@ object SparkEntry {
     // ---- left anti join (J2: the checkpoint/cache-miss shape) ----
     "q05_cust_no_orders" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
-      val orders = t(s, dir, "orders")
+      val big = t(s, dir, "orders").where(col("o_totalprice") > 400000)
       cust
-        .join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")
+        .join(big, cust("c_custkey") === big("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_customers"))
         .orderBy(col("c_mktsegment"))
@@ -224,6 +224,38 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // ---- rule engine (P5/P6): priority when-ladder, pure Column exprs ----
+    "q17_rules" -> ((s, dir) => {
+      import graft.operators.Rules
+      import graft.operators.Rules.Op
+      val rules = Seq(
+        Rules.Rule("huge", 30, Seq(Rules.Condition("n_chars", Op.GreaterThan, 2000))),
+        Rules.Rule("english_long", 20, Seq(
+          Rules.Condition("lang", Op.Equals, "en"),
+          Rules.Condition("n_chars", Op.Between, 500, 2000))),
+        Rules.Rule("tiny", 10, Seq(Rules.Condition("n_chars", Op.LessThan, 100))))
+      Rules.applyRules(t(s, dir, "documents"), rules)
+        .groupBy(col("rule"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("rule"))
+    }),
+
+    // ---- text search w/ occurrence score + excerpt (S10/W4/F13) ----
+    "q18_search" -> ((s, dir) => {
+      graft.operators.Search.search(t(s, dir, "documents"), "doc_id", "text", "data", 20)
+        .select(col("id").as("doc_id"), col("score"), col("excerpt"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // ---- multimodal binary metadata (payload plumbing, oracle-checkable)
+    "q19_binary_meta" -> ((s, dir) => {
+      graft.operators.Multimodal.attachPayload(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("meta.n_bytes").as("n_bytes"),
+          md5(col("payload")).as("content_md5"))
+        .orderBy(col("doc_id"))
+        .limit(100)
+    }),
+
     // ================= rows-only checks (not SQL-expressible) ============
     // extraction pipeline per-turn output (verified vs reference goldens in
     // sbt test; DuckDB cannot replicate the CPython-semantics kernel)
@@ -271,6 +303,57 @@ object SparkEntry {
       val copies = emb.where(col("vec_id") < 50)
         .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
       Dedup.embeddingNearDups(emb.union(copies), "vec_id", "embedding", minCosine = 0.99)
+    }),
+    // exact n-gram Jaccard near-dup (inverted-index postings join)
+    "x07_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = docs.where(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" jaccard tail")).as("text"))
+      Dedup.ngramJaccardNearDups(docs.union(copies), "doc_id", "text")
+    }),
+    // IVF approximate top-k (partition-prunable ANN index path)
+    "x08_ivf_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).first().getSeq[Float](0).toArray
+      Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10, nList = 16, nProbe = 8)
+    }),
+    // chunking w/ overlap (F14) — reference word-packing semantics
+    "x09_chunks" -> ((s, dir) => {
+      val chunk = udf((text: String) => graft.kernel.Chunker.semantic(text))
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(chunk(col("text"))).as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx"), length(col("chunk")).as("n_chars"),
+          md5(col("chunk")).as("chunk_md5"))
+    }),
+    // markdown render sink (S6): deterministic per-conversation document
+    "x10_render_markdown" -> ((s, dir) => {
+      val scale = if (dir.contains("0.1")) 200 else 60
+      graft.pipeline.Render.markdown(
+        ExtractionJob.extract(TranscriptGen.dataset(s, scale)))
+        .select(col("conv_id"), length(col("markdown")).as("n_chars"),
+          md5(col("markdown")).as("md"))
+    }),
+    // XML span render sink (S8)
+    "x11_render_xml" -> ((s, dir) => {
+      val scale = if (dir.contains("0.1")) 200 else 60
+      graft.pipeline.Render.xml(
+        ExtractionJob.extract(TranscriptGen.dataset(s, scale)))
+        .select(col("conv_id"), length(col("xml")).as("n_chars"),
+          md5(col("xml")).as("md"))
+    }),
+    // multimodal feature extraction: batched pooled decode (stubbed codec)
+    "x12_multimodal_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = graft.operators.Multimodal
+        .attachPayload(t(s, dir, "documents"), "doc_id", "text")
+        .as[graft.operators.Multimodal.MediaRow]
+      graft.operators.Multimodal.extractFeatures(media)
+        .toDF()
+        .select(col("id"), col("n_bytes"),
+          round(element_at(col("features"), 1), 4).as("byte_mean"),
+          round(element_at(col("features"), 2), 4).as("byte_std"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -314,7 +397,7 @@ object SparkEntry {
     "q05_cust_no_orders" ->
       """SELECT c_mktsegment, count(*) AS n_customers
         |FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
 
@@ -380,6 +463,27 @@ object SparkEntry {
          |SELECT count(*) AS n_groups, CAST(sum(dup_count) AS BIGINT) AS n_docs,
          |  CAST(sum(CASE WHEN dup_count > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
          |FROM g""".stripMargin,
+
+    "q17_rules" ->
+      """SELECT CASE
+        |  WHEN n_chars IS NOT NULL AND n_chars > 2000 THEN 'huge'
+        |  WHEN lang IS NOT NULL AND lang = 'en'
+        |       AND n_chars IS NOT NULL AND n_chars BETWEEN 500 AND 2000 THEN 'english_long'
+        |  WHEN n_chars IS NOT NULL AND n_chars < 100 THEN 'tiny'
+        |  ELSE 'none' END AS rule, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q18_search" ->
+      s"""SELECT doc_id, ${graft.operators.Search.occurrencesSql("text", "data")} AS score,
+         |  ${graft.operators.Search.excerptSql("text", "data")} AS excerpt
+         |FROM documents
+         |WHERE ${graft.operators.Search.occurrencesSql("text", "data")} > 0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q19_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id LIMIT 100""".stripMargin,
 
     "q16_ann_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

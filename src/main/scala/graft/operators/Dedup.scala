@@ -211,6 +211,63 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  // ---------- n-gram Jaccard (exact, postings join) ----------
+
+  /** Exact n-gram Jaccard near-dup via an inverted-index (postings)
+    * self-join — no signatures, no false negatives:
+    *
+    *   doc → distinct shingle hashes → postings (shingle, id) →
+    *   per-shingle pair expansion (a < b) → groupBy(pair).count = |A∩B| →
+    *   jaccard = common / (|A| + |B| - common).
+    *
+    * Scale guard: shingles with document frequency > `maxDocFreq` are
+    * dropped from pair GENERATION (stop-shingle skew guard — a shingle in
+    * 10^6 docs would emit 10^12 pairs). Intersection counts still use only
+    * surviving shingles, so reported jaccard is a lower bound for pairs
+    * held together solely by ubiquitous shingles; with maxDocFreq above the
+    * true max df the result is exact (tests verify vs brute force).
+    */
+  def ngramJaccardNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.6,
+      maxDocFreq: Int = 1024): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shingled = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        (id, shingles(Option(t).getOrElse(""), shingleSize).toArray)
+      })
+      .toDF("id", "sh")
+      .select(col("id"), col("sh"), size(col("sh")).as("n"))
+    shingled.persist()
+
+    val postings = shingled
+      .select(col("id"), col("n"), explode(col("sh")).as("s"))
+
+    // one shuffle on shingle hash; df-capped pair expansion inside the agg
+    val pairCommon = postings
+      .groupBy(col("s"))
+      .agg(collect_list(struct(col("id"), col("n"))).as("ds"))
+      .where(size(col("ds")).between(2, maxDocFreq))
+      .select(explode(expr(
+        "flatten(transform(ds, a -> transform(ds, b -> named_struct('a', a, 'b', b))))"))
+        .as("pr"))
+      .where(col("pr.a.id") < col("pr.b.id"))
+      .groupBy(
+        col("pr.a.id").as("id_a"), col("pr.b.id").as("id_b"),
+        col("pr.a.n").as("n_a"), col("pr.b.n").as("n_b"))
+      .agg(count(lit(1)).as("common"))
+
+    pairCommon
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   // ---------- embedding cosine near-dup ----------
 
   /** Near-duplicate embeddings via hyperplane-LSH candidates + exact cosine

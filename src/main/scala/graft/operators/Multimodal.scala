@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for training-data pipelines: image/audio/video as
+  * opaque `binary` columns with typed metadata, plus decode /
+  * feature-extract / resize / frame-sample stages.
+  *
+  * The Spark-side plumbing — schema, partition-preserving narrow maps,
+  * pooled per-partition decoder instances, batched decode shape — is real
+  * and tested. The actual media decode is STUBBED (no image/audio libs in
+  * this container): `StubDecoder` derives deterministic features from the
+  * raw bytes so tests are exact. Swapping in a real decoder changes ONE
+  * class; every schema/partitioning/batching decision stands.
+  *
+  * Mirrors the reference's image stages (SURVEY.md Q1-Q7,
+  * image_processor.py / quality_detector.py) re-shaped for columnar media.
+  */
+object Multimodal {
+
+  /** Typed metadata carried beside the opaque payload. */
+  final case class MediaMeta(width: Int, height: Int, n_bytes: Long, mime: String)
+
+  final case class MediaRow(id: Long, payload: Array[Byte], meta: MediaMeta)
+
+  final case class MediaFeatures(
+      id: Long, width: Int, height: Int, n_bytes: Long,
+      features: Array[Float])
+
+  /** Attach a deterministic binary payload + metadata to a text table —
+    * the sandbox stand-in for reading real media files
+    * (`spark.read.format("binaryFile")` in production).
+    */
+  def attachPayload(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("id"),
+      col(textCol).cast("binary").as("payload"))
+      .withColumn("meta", struct(
+        // fake-but-deterministic dims derived from content
+        (pmod(xxhash64(col("payload")), lit(1024)) + 64).cast("int").as("width"),
+        (pmod(xxhash64(col("payload"), lit(1)), lit(768)) + 64).cast("int").as("height"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        lit("application/octet-stream").as("mime")))
+
+  /** The decoder seam. A real implementation wraps an image/audio codec;
+    * instances are pooled per partition and fed BATCHES (the shape real
+    * codecs want — amortized model/codec setup, vectorized decode).
+    */
+  trait Decoder {
+    /** decode a batch of payloads into fixed-width feature vectors */
+    def decodeBatch(batch: Seq[Array[Byte]]): Seq[Array[Float]]
+  }
+
+  /** STUB — deterministic byte-statistics "features" (8 dims): mean, std,
+    * min, max of unsigned bytes, length-derived dims. Replace with a real
+    * codec to productionize; semantics of the pipeline do not change.
+    */
+  final class StubDecoder extends Decoder {
+    def decodeBatch(batch: Seq[Array[Byte]]): Seq[Array[Float]] = batch.map { b =>
+      if (b == null || b.isEmpty) Array.fill(8)(0.0f)
+      else {
+        var sum = 0.0; var sq = 0.0; var mn = 255.0; var mx = 0.0
+        var i = 0
+        while (i < b.length) {
+          val v = (b(i) & 0xff).toDouble
+          sum += v; sq += v * v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 1
+        }
+        val n = b.length.toDouble
+        val mean = sum / n
+        val std = math.sqrt(math.max(0.0, sq / n - mean * mean))
+        Array(mean.toFloat, std.toFloat, mn.toFloat, mx.toFloat,
+          n.toFloat, (b(0) & 0xff).toFloat, (b(b.length - 1) & 0xff).toFloat,
+          ((b.length % 251)).toFloat)
+      }
+    }
+  }
+
+  /** Batched feature extraction: narrow mapPartitions (no shuffle), one
+    * pooled decoder per partition, `batchSize` payloads per decode call.
+    */
+  def extractFeatures(
+      media: Dataset[MediaRow], batchSize: Int = 64,
+      mkDecoder: () => Decoder = () => new StubDecoder): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val decoder = mkDecoder() // pooled per partition
+      it.grouped(batchSize).flatMap { batch =>
+        val feats = decoder.decodeBatch(batch.map(_.payload))
+        batch.lazyZip(feats).map { (row, f) =>
+          MediaFeatures(row.id, row.meta.width, row.meta.height,
+            row.meta.n_bytes, f)
+        }
+      }
+    }
+  }
+
+  /** Resize STUB: keeps every k-th byte (deterministic downsample) and
+    * rewrites metadata — the schema/lineage shape of a real resize.
+    */
+  def resize(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    require(factor >= 1)
+    media.mapPartitions(_.map { r =>
+      val out = Array.tabulate(math.max(1, r.payload.length / factor))(i => r.payload(i * factor))
+      r.copy(payload = out,
+        meta = r.meta.copy(
+          width = math.max(1, r.meta.width / factor),
+          height = math.max(1, r.meta.height / factor),
+          n_bytes = out.length.toLong))
+    })
+  }
+
+  /** Frame sampling STUB (video analog): split the payload into `n` equal
+    * byte windows → ARRAY<BINARY> frames, then `posexplode` to rows.
+    */
+  def frameSample(media: DataFrame, n: Int): DataFrame = {
+    require(n >= 1)
+    val frames = transform(sequence(lit(0), lit(n - 1)), i => {
+      val len = octet_length(col("payload"))
+      val width = greatest((len / n).cast("int"), lit(1))
+      // substr on binary is positional like on strings (1-based)
+      substr(col("payload"), (i * width + 1).cast("int"), width)
+    })
+    media
+      .select(col("*"), posexplode(frames).as(Seq("frame_idx", "frame")))
+      .drop("payload")
+  }
+}

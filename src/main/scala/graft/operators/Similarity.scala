@@ -89,6 +89,71 @@ object Similarity {
     b
   }
 
+  // ---------- IVF (inverted-file) ANN ----------
+
+  /** Deterministic IVF coarse quantizer: pick `nList` centroid vectors by
+    * smallest splitmix64(id) — an id-hash sample, stable across runs and
+    * partition layouts (no k-means iterations; at 100 TB you'd train
+    * centroids once offline and broadcast them, which is exactly the shape
+    * here: tiny driver-side collect + broadcast).
+    */
+  def ivfCentroids(
+      df: DataFrame, idCol: String, vecCol: String, nList: Int): Array[(Int, Array[Float])] = {
+    val smUdf = udf((id: Long) => sm64(id))
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy(smUdf(col("id")), col("id"))
+      .limit(nList)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+  }
+
+  def nearestCentroid(v: Array[Float], cents: Array[(Int, Array[Float])]): Int = {
+    var best = -1; var bestCos = -2.0
+    var i = 0
+    while (i < cents.length) {
+      val c = cosine(v, cents(i)._2)
+      if (c > bestCos || (c == bestCos && cents(i)._1 < best)) {
+        bestCos = c; best = cents(i)._1
+      }
+      i += 1
+    }
+    best
+  }
+
+  /** Assign every vector to its nearest centroid — the IVF index build.
+    * At scale this is written `partitionBy("ivf_list")` so a search scans
+    * only probed lists (partition pruning); returned here as a DataFrame
+    * (id, ivf_list, v) so callers choose the sink.
+    */
+  def ivfIndex(
+      df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Int, Array[Float])]): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(cents)
+    val assignUdf = udf((v: Seq[Float]) => nearestCentroid(v.toArray, bc.value))
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("ivf_list", assignUdf(col("v")))
+  }
+
+  /** IVF approximate top-k: probe the `nProbe` centroid lists nearest to
+    * the query, brute-force cosine only within them. Candidate fraction ≈
+    * nProbe/nList of the data; recall measured vs `cosineTopK` in tests.
+    */
+  def ivfTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int,
+      nList: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = ivfCentroids(df, idCol, vecCol, nList)
+    val probed = cents.map { case (i, c) => (i, cosine(query, c)) }
+      .sortBy { case (i, c) => (-c, i) }.take(nProbe).map(_._1).toSeq
+    ivfIndex(df, idCol, vecCol, cents)
+      .where(col("ivf_list").isin(probed: _*))
+      .select(col("id"), cosineWithConst(col("v"), query).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
   /** Multi-table hyperplane LSH approximate top-k: L independent tables of
     * `planesPerTable` hyperplanes each; a row is a candidate if it shares
     * the query's bucket in ANY table (standard OR-of-ANDs construction).

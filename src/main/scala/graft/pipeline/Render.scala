@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.schema.ExtractedTurn
+
+/** Deterministic string renders of extraction output — the reference's
+  * Markdown and XML sinks re-expressed as column projections
+  * (SURVEY.md S6: OCR_Enhanced_Hybrid_v1.py:1319-1362 per-page markdown;
+  * S8: xml_output_generator.py structured XML).
+  *
+  * Everything is `concat`/`format_string`/`transform` column expressions —
+  * whole-stage codegen, no UDFs — and order is restored with
+  * `array_sort(collect_list(struct(turn_idx, ...)))` so map-side partial
+  * aggregation applies (giant conversations don't serialize through one
+  * task; same shape as ExtractionJob.assemble).
+  */
+object Render {
+
+  private def xmlEscape(c: Column): Column =
+    replace(replace(replace(c, lit("&"), lit("&amp;")),
+      lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+
+  /** One markdown document per conversation:
+    *
+    *   # Conversation {conv_id}
+    *   ## Turn {idx} ({role})
+    *   {text}
+    *   ... turns joined with blank-line separators (the reference's
+    *   `'\n\n===...'` page separator, Hybrid_v1.py:1356).
+    */
+  def markdown(extracted: Dataset[ExtractedTurn]): DataFrame =
+    extracted
+      .where(col("success"))
+      .groupBy(col("conv_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("turn_idx"), col("role"), col("text_clean")))),
+            t => format_string("## Turn %d (%s)\n\n%s",
+              t.getField("turn_idx"), t.getField("role"), t.getField("text_clean"))),
+          "\n\n====================\n\n").as("body"))
+      .select(
+        col("conv_id"),
+        concat(format_string("# Conversation %s", col("conv_id")),
+          lit("\n\n"), col("body")).as("markdown"))
+
+  /** XML render of per-turn spans:
+    *
+    *   <conversation id="..."><turn idx="..." role="..." doc_type="...">
+    *     <span name="..." start="..." end="..." confidence="...">value</span>
+    *   </turn></conversation>
+    */
+  def xml(extracted: Dataset[ExtractedTurn]): DataFrame = {
+    val turnXml =
+      concat(
+        format_string("<turn idx=\"%d\" role=\"%s\" doc_type=\"%s\">",
+          col("turn_idx"), xmlEscape(col("role")), col("doc_type")),
+        array_join(
+          transform(col("spans"), s =>
+            format_string("<span name=\"%s\" start=\"%d\" end=\"%d\" confidence=\"%.2f\">%s</span>",
+              xmlEscape(s.getField("name")), s.getField("start"), s.getField("end"),
+              s.getField("confidence"), xmlEscape(s.getField("value")))),
+          ""),
+        lit("</turn>"))
+    extracted
+      .where(col("success"))
+      .withColumn("_txml", struct(col("turn_idx"), turnXml.as("x")))
+      .groupBy(col("conv_id"))
+      .agg(array_join(transform(array_sort(collect_list(col("_txml"))),
+        t => t.getField("x")), "").as("turns_xml"))
+      .select(
+        col("conv_id"),
+        concat(
+          format_string("<conversation id=\"%s\">", xmlEscape(col("conv_id"))),
+          col("turns_xml"), lit("</conversation>")).as("xml"))
+  }
+}

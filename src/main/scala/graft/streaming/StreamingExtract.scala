@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.pipeline.ExtractionJob
+import graft.schema.Turn
+
+/** Structured-Streaming surface of the extraction engine — the reference's
+  * automation/watch layer re-expressed (SURVEY.md S4/§2.11,
+  * folder_watcher.py:59-186,299-393):
+  *
+  *   - watchdog file events + stability polling → Spark file source (files
+  *     are atomic in object stores; no stability check needed)
+  *   - batch_size=5 / batch_timeout=30 s micro-batching →
+  *     `maxFilesPerTrigger` + `Trigger.ProcessingTime` / `AvailableNow`
+  *   - the per-batch work IS the batch pipeline (`foreachBatch` →
+  *     ExtractionJob), so batch and streaming share one code path.
+  */
+object StreamingExtract {
+
+  val turnSchema: StructType = Encoders.product[Turn].schema
+
+  /** File-source stream of transcript turns (parquet drops into `inDir`). */
+  def readTurns(spark: SparkSession, inDir: String, maxFilesPerTrigger: Int = 5): Dataset[Turn] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(turnSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+      .as[Turn]
+  }
+
+  /** Drain everything currently in `inDir` through the extraction pipeline
+    * into `outDir`, exactly-once via the stream checkpoint; returns after
+    * the backlog is processed (the reference's "process the folder now"
+    * batch trigger).
+    */
+  def runAvailableNow(
+      spark: SparkSession, inDir: String, outDir: String, checkpointDir: String): Unit = {
+    val q = readTurns(spark, inDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Turn], _: Long) =>
+        ExtractionJob.extract(batch).write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Event-time windowed rollup with a watermark — late turns beyond the
+    * watermark are dropped; state is bounded (the streaming analog of
+    * q09_events_daily).
+    */
+  def turnsPerHour(turns: Dataset[Turn], watermark: String = "2 hours"): DataFrame =
+    turns
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("role"))
+      .agg(count(lit(1)).as("n_turns"))
+
+  /** Running per-conversation progress via custom keyed state
+    * (`mapGroupsWithState`) — the streaming counterpart of conversation
+    * assembly: as turns arrive, track counts/high-water turn_idx without
+    * re-aggregating history.
+    */
+  final case class ConvProgress(
+      conv_id: String, n_turns: Long, max_turn_idx: Int, n_tool_turns: Long)
+
+  def conversationProgress(turns: Dataset[Turn]): Dataset[ConvProgress] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns
+      .groupByKey(_.conv_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (id: String, it: Iterator[Turn], state: GroupState[ConvProgress]) =>
+          val prev = state.getOption.getOrElse(ConvProgress(id, 0L, -1, 0L))
+          var n = prev.n_turns
+          var mx = prev.max_turn_idx
+          var tools = prev.n_tool_turns
+          it.foreach { t =>
+            n += 1
+            if (t.turn_idx > mx) mx = t.turn_idx
+            if (t.role == "tool") tools += 1
+          }
+          val next = ConvProgress(id, n, mx, tools)
+          state.update(next)
+          next
+      }
+  }
+}

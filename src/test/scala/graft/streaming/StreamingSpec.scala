@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{ExtractionJob, TranscriptGen}
+import graft.schema.Turn
+
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-streaming-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("file-source AvailableNow stream equals batch extraction, exactly-once across restarts") {
+    val sp = spark; import sp.implicits._
+    val inDir = Files.createTempDirectory("graft-stream-in").toString
+    val outDir = Files.createTempDirectory("graft-stream-out").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+
+    val all = TranscriptGen.dataset(spark, 20).collect().toSeq
+    val (first, second) = all.splitAt(all.size / 2)
+
+    // drop 1: first half arrives
+    first.toDS().write.mode("append").parquet(inDir)
+    StreamingExtract.runAvailableNow(spark, inDir, outDir, ckpt)
+
+    // drop 2: second half arrives; restart drains ONLY the new files
+    second.toDS().write.mode("append").parquet(inDir)
+    StreamingExtract.runAvailableNow(spark, inDir, outDir, ckpt)
+
+    val streamed = spark.read.parquet(outDir)
+      .select("conv_id", "turn_idx", "text_clean")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    val batch = ExtractionJob.extract(all.toDS())
+      .select("conv_id", "turn_idx", "text_clean")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed.size == all.size)
+  }
+
+  test("stateful conversation progress via mapGroupsWithState accumulates across batches") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val q = StreamingExtract.conversationProgress(input.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("conv_progress")
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
+    val turns = TranscriptGen.dataset(spark, 3).collect().toSeq
+    val (b1, b2) = turns.splitAt(turns.size / 2)
+    input.addData(b1)
+    q.processAllAvailable()
+    input.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+
+    // latest state per conversation must equal the batch ground truth
+    val latest = spark.sql(
+      """SELECT conv_id, max_by(n_turns, n_turns) AS n_turns,
+        |       max(max_turn_idx) AS max_turn_idx
+        |FROM conv_progress GROUP BY conv_id""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val expected = turns.groupBy(_.conv_id).map { case (cid, ts) =>
+      (cid, ts.size.toLong, ts.map(_.turn_idx).max)
+    }.toSeq.sorted
+    assert(latest == expected)
+  }
+
+  test("event-time windowed rollup with watermark over a turn stream") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val q = StreamingExtract.turnsPerHour(input.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("turns_hourly")
+      .outputMode("update")
+      .start()
+    val turns = TranscriptGen.dataset(spark, 4).collect().toSeq
+    input.addData(turns)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+      """SELECT CAST(window.start AS STRING) AS ws, role, max(n_turns) AS n
+        |FROM turns_hourly GROUP BY 1, 2""".stripMargin)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val expected = turns.groupBy(t =>
+      (java.time.Instant.ofEpochMilli(t.ts.getTime - Math.floorMod(t.ts.getTime, 3600000L))
+        .toString.replace("T", " ").replace("Z", ""), t.role))
+      .map { case (k, v) => k -> v.size.toLong }
+    expected.foreach { case ((ws, role), n) =>
+      val key = (ws, role)
+      val wsKey = got.keys.find(k => k._2 == role && k._1.startsWith(ws.take(13)))
+      assert(got.exists { case ((w, r), c) => r == role && c == n &&
+        w.take(13) == ws.take(13) }, s"missing window $key=$n in $got; probe=$wsKey")
+    }
+  }
+}
