@@ -256,6 +256,18 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // ---- engine-quality composite (A5) + alnum-confidence fallback (F16)
+    "q20_engine_quality" -> ((s, dir) => {
+      val conf = TextAnalysis.alnumConfidence(col("text"))
+      val score = TextAnalysis.engineQualityScore(
+        conf, col("n_chars") / lit(1000.0), lit(1.0),
+        TextAnalysis.tokenCount(col("text")), col("n_chars"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), round(score, 4).as("quality_score"))
+        .orderBy(col("doc_id"))
+        .limit(100)
+    }),
+
     // ================= rows-only checks (not SQL-expressible) ============
     // extraction pipeline per-turn output (verified vs reference goldens in
     // sbt test; DuckDB cannot replicate the CPython-semantics kernel)
@@ -342,6 +354,18 @@ object SparkEntry {
         ExtractionJob.extract(TranscriptGen.dataset(s, scale)))
         .select(col("conv_id"), length(col("xml")).as("n_chars"),
           md5(col("xml")).as("md"))
+    }),
+    // search-index derived tables (S10): conversations -> turns -> chunks
+    "x13_search_index" -> ((s, dir) => {
+      val scale = if (dir.contains("0.1")) 200 else 60
+      val extracted = ExtractionJob.extract(TranscriptGen.dataset(s, scale))
+      val idx = graft.pipeline.SearchIndex.build(extracted)
+      idx.chunks
+        .groupBy(col("conv_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("chunk_hash")).as("n_distinct_chunks"))
+        .join(idx.conversations.select(col("conv_id"), col("n_turns"), col("content_hash")),
+          Seq("conv_id"))
     }),
     // multimodal feature extraction: batched pooled decode (stubbed codec)
     "x12_multimodal_features" -> ((s, dir) => {
@@ -484,6 +508,20 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_md5
         |FROM documents ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "q20_engine_quality" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0.0
+        |         WHEN length(replace(text, ' ', '')) = 0 THEN 0.0
+        |         ELSE least(CAST(length(regexp_replace(replace(text, ' ', ''), '[^\p{L}\p{N}]', '', 'g')) AS DOUBLE)
+        |                    / CAST(length(replace(text, ' ', '')) AS DOUBLE), 1.0) END AS conf,
+        |    greatest(0.0, 1.0 - (n_chars / 1000.0) / 30.0) AS speed_score,
+        |    least(1.0, (len(regexp_split_to_array(trim(lower(text)), '\s+')) + n_chars / 10.0) / 100.0) AS content_score
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round(greatest(0.0, least(1.0, conf * 0.4 + speed_score * 0.2 + 1.0 * 0.3 + content_score * 0.1)), 4) AS quality_score
+        |FROM s ORDER BY doc_id LIMIT 100""".stripMargin,
 
     "q16_ann_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

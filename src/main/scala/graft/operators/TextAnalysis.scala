@@ -103,6 +103,81 @@ object TextAnalysis {
       s"WHEN $score >= 4 THEN 'fair' WHEN $score >= 2 THEN 'poor' ELSE 'very_poor' END"
   }
 
+  /** Engine-quality composite (SURVEY.md A5; multi_engine.py:32-53):
+    * 0.4·confidence + 0.2·speed + 0.3·success_rate + 0.1·content, with
+    * speed_score = max(0, 1 − time/30) and
+    * content_score = min(1, (words + chars/10)/100), clamped to [0,1].
+    * Pure arithmetic Column expression — per-engine averages are then just
+    * `groupBy(engine).agg(avg(...))`.
+    */
+  def engineQualityScore(
+      confidence: Column, processingTimeSec: Column,
+      successRate: Column, wordCount: Column, charCount: Column): Column = {
+    val speedScore = greatest(lit(0.0), lit(1.0) - processingTimeSec / 30.0)
+    val contentScore = least(lit(1.0), (wordCount + charCount / 10.0) / 100.0)
+    val total = confidence * 0.4 + speedScore * 0.2 + successRate * 0.3 + contentScore * 0.1
+    greatest(lit(0.0), least(lit(1.0), total))
+  }
+
+  /** Heuristic confidence fallback (SURVEY.md F16; REAL.py:974-998): the
+    * alphanumeric-character ratio of the text ignoring spaces, clamped to
+    * ≤1; empty/blank → 0. Used when no per-word confidences exist.
+    */
+  def alnumConfidence(text: Column): Column = {
+    val noSpace = replace(text, lit(" "), lit(""))
+    val alnum = length(regexp_replace(noSpace, "[^\\p{L}\\p{N}]", ""))
+    when(text.isNull || trim(text) === "", 0.0)
+      .when(length(noSpace) === 0, 0.0)
+      .otherwise(least(alnum.cast("double") / length(noSpace).cast("double"), lit(1.0)))
+  }
+
+  /** Preprocessing recommender (SURVEY.md Q6; quality_detector.py:467-501)
+    * — the reference's threshold rules as an array-building when-ladder.
+    * `noiseLevel`/`contrast` take the text-domain analogs (e.g.
+    * punctuation-density, distinct-token ratio); thresholds mirror the
+    * reference's 'good' bands (noise > 20 → denoise, contrast < 60 →
+    * enhance, quality_detector.py:108-111), rescaled by the caller.
+    */
+  def preprocessingRecommendations(
+      quality: Column, docType: Column,
+      noiseLevel: Column, contrast: Column,
+      noiseGood: Double = 20.0, contrastGood: Double = 60.0): Column =
+    array_compact(array(
+      when(noiseLevel > noiseGood, lit("noise_reduction")),
+      when(contrast < contrastGood, lit("contrast_enhancement")),
+      when(quality.isin("poor", "very_poor"), lit("binarization")),
+      when(quality === "very_poor", lit("sharpening")),
+      when(docType === "handwritten", lit("gentle_processing"))
+        .when(docType === "form", lit("structure_preservation"))
+        .when(docType === "table", lit("line_enhancement"))))
+
+  /** Engine suggester (SURVEY.md Q6; quality_detector.py:503-525): the
+    * quality×doc-type → engine ladder, verbatim.
+    */
+  def suggestEngine(quality: Column, docType: Column): Column =
+    when(quality === "excellent",
+      when(docType === "printed", lit("tesseract_local")).otherwise(lit("google_cloud")))
+      .when(quality === "good",
+        when(docType === "handwritten", lit("azure_cloud")).otherwise(lit("tesseract_local")))
+      .when(quality === "fair", lit("azure_cloud"))
+      .otherwise(lit("google_cloud"))
+
+  /** Word-level confidence filter (SURVEY.md P2;
+    * tesseract_engine.py:302-334): keep words of a
+    * ARRAY<STRUCT<..., confidence DOUBLE, ...>> column meeting the
+    * threshold — a codegen `filter` over the nested array, no explode.
+    */
+  def filterWordsByConfidence(words: Column, threshold: Double): Column =
+    filter(words, w => w.getField("confidence") >= lit(threshold))
+
+  /** Quality-based routing predicate (SURVEY.md P3/P7;
+    * OCR_Enhanced_Hybrid_v1.py:999-1022, config default threshold 0.75):
+    * rows at/above the confidence threshold keep the fast-path result;
+    * the rest are routed to the fallback strategy.
+    */
+  def routeByQuality(confidence: Column, threshold: Double = 0.75): Column =
+    when(confidence >= threshold, lit("local")).otherwise(lit("fallback"))
+
   /** Content fingerprint: md5 of whitespace-normalized lowercased text —
     * the reference's index key (search_manager.py:147-149 md5; cache key
     * sha-256 cache_manager.py:119-170).

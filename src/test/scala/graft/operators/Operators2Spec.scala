@@ -211,6 +211,124 @@ class Operators2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(reassembled == "abcdefghijklmnopqrstuvwxyz0123456789")
   }
 
+  // ---------- engine quality (A5) + alnum confidence (F16) ----------
+
+  test("engine quality score matches the reference formula by hand") {
+    val sp = spark; import sp.implicits._
+    // (conf, time_s, success, words, chars)
+    val rows = Seq(
+      (0.9, 3.0, 1.0, 100, 500),
+      (0.5, 45.0, 0.5, 10, 50),
+      (0.0, 0.0, 0.0, 0, 0))
+    def ref(c: Double, t: Double, s: Double, w: Int, ch: Int): Double = {
+      val speed = math.max(0.0, 1.0 - t / 30.0)
+      val content = math.min(1.0, (w + ch / 10.0) / 100.0)
+      math.max(0.0, math.min(1.0, c * 0.4 + speed * 0.2 + s * 0.3 + content * 0.1))
+    }
+    val df = rows.toDF("conf", "t", "s", "w", "ch")
+    val got = df.select(TextAnalysis.engineQualityScore(
+      col("conf"), col("t"), col("s"), col("w"), col("ch")).as("q"))
+      .collect().map(_.getDouble(0)).toSeq
+    val expected = rows.map(r => ref(r._1, r._2, r._3, r._4, r._5))
+    got.zip(expected).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12) }
+  }
+
+  test("alnum-confidence fallback matches python semantics") {
+    val sp = spark; import sp.implicits._
+    def ref(texto: String): Double = {
+      if (texto == null || graft.kernel.Py.strip(texto).isEmpty) 0.0
+      else {
+        val noSpace = texto.replace(" ", "")
+        if (noSpace.isEmpty) 0.0
+        else {
+          val alnum = noSpace.count(_.isLetterOrDigit)
+          math.min(alnum.toDouble / noSpace.length, 1.0)
+        }
+      }
+    }
+    val texts = Seq("hello world 123", "...!!!", "", "   ", "ação São 42", "a-b_c d")
+    val df = texts.toDF("text")
+    val got = df.select(TextAnalysis.alnumConfidence(col("text")).as("c"))
+      .collect().map(_.getDouble(0)).toSeq
+    texts.zip(got).foreach { case (t, g) =>
+      assert(math.abs(g - ref(t)) < 1e-12, s"text='$t' got=$g expected=${ref(t)}")
+    }
+  }
+
+  test("preprocessing recommender + engine suggester ladders (Q6), word filter (P2), routing (P7)") {
+    val sp = spark; import sp.implicits._
+    // (quality, doc_type, noise, contrast) -> reference ladder outcomes
+    val df = Seq(
+      ("excellent", "printed", 5.0, 80.0),
+      ("excellent", "table", 25.0, 80.0),
+      ("good", "handwritten", 5.0, 40.0),
+      ("fair", "printed", 5.0, 80.0),
+      ("very_poor", "form", 50.0, 10.0))
+      .toDF("quality", "doc_type", "noise", "contrast")
+    val got = df.select(
+      TextAnalysis.preprocessingRecommendations(
+        col("quality"), col("doc_type"), col("noise"), col("contrast")).as("rec"),
+      TextAnalysis.suggestEngine(col("quality"), col("doc_type")).as("engine"))
+      .collect().map(r => (r.getSeq[String](0), r.getString(1))).toSeq
+    assert(got == Seq(
+      (Seq.empty[String], "tesseract_local"),
+      (Seq("noise_reduction", "line_enhancement"), "google_cloud"),
+      (Seq("contrast_enhancement", "gentle_processing"), "azure_cloud"),
+      (Seq.empty[String], "azure_cloud"),
+      (Seq("noise_reduction", "contrast_enhancement", "binarization",
+        "sharpening", "structure_preservation"), "google_cloud")))
+
+    // P2: nested-array confidence filter without explode
+    val words = Seq((1L, Seq(("ok", 0.9), ("low", 0.2), ("mid", 0.5))))
+      .toDF("id", "ws")
+      .select(col("id"), col("ws").cast("array<struct<text:string,confidence:double>>"))
+    val kept = words.select(
+      TextAnalysis.filterWordsByConfidence(col("ws"), 0.5).as("kept"))
+      .selectExpr("transform(kept, w -> w.text) AS ts")
+      .collect().head.getSeq[String](0)
+    assert(kept == Seq("ok", "mid"))
+
+    // P7: threshold routing, reference default 0.75
+    val routed = Seq(0.9, 0.75, 0.5).toDF("conf")
+      .select(TextAnalysis.routeByQuality(col("conf")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(routed == Seq("local", "local", "fallback"))
+  }
+
+  // ---------- search index (S10) ----------
+
+  test("search index derived tables: counts, hashes, chunk coverage, join-back") {
+    val sp = spark; import sp.implicits._
+    import graft.pipeline.{ExtractionJob, SearchIndex, TranscriptGen}
+    val turns = TranscriptGen.dataset(spark, 8)
+    val extracted = ExtractionJob.extract(turns)
+    val idx = SearchIndex.build(extracted, chunkMaxLen = 80)
+
+    val nTurnsIn = extracted.where(col("success")).count()
+    assert(idx.turns.count() == nTurnsIn)
+    val convCounts = idx.conversations.select("conv_id", "n_turns")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(convCounts.values.sum == nTurnsIn)
+
+    // chunks reassemble to the original per-turn text (no-overlap variant
+    // partitions words exactly)
+    val sample = idx.turns.select("conv_id", "turn_idx", "text_clean")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+    val chunksBy = idx.chunks
+      .select("conv_id", "turn_idx", "chunk_idx", "chunk_text")
+      .collect().groupBy(r => (r.getString(0), r.getInt(1)))
+    chunksBy.foreach { case (key, rows) =>
+      val joined = rows.sortBy(_.getInt(2)).map(_.getString(3)).flatMap(_.split(" "))
+      assert(joined.toSeq == graft.kernel.Py.splitWs(sample(key)).toSeq)
+    }
+
+    // join-back (S7/J1): every source row present, extraction aligned
+    val jb = SearchIndex.joinBack(extracted, turns)
+    assert(jb.count() == turns.count())
+    assert(jb.where(col("text_clean").isNull).count() ==
+      extracted.where(!col("success")).count())
+  }
+
   // ---------- render ----------
 
   test("render: markdown and xml are deterministic and order-stable") {
