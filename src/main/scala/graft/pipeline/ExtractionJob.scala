@@ -81,6 +81,32 @@ object ExtractionJob {
     }
   }
 
+  /** Extraction with job metrics attached via `Observation` — the Spark
+    * form of the reference's running stats (SURVEY.md A4/A6;
+    * text_processor.py:643-663 incremental means,
+    * parallel_processor.py:63-119 ProcessingStats): turn counts,
+    * success/error counts, corrections, patterns, mean confidence uplift.
+    * Metrics are collected DURING the action that consumes the returned
+    * Dataset (zero extra passes); read them from the Observation afterward.
+    */
+  def extractObserved(
+      turns: Dataset[Turn],
+      saltBuckets: Int = 0): (Dataset[ExtractedTurn], org.apache.spark.sql.Observation) = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val obs = org.apache.spark.sql.Observation("extraction_metrics")
+    val observed = extract(turns, saltBuckets).toDF()
+      .observe(obs,
+        count(lit(1)).as("turns"),
+        sum(when(col("success"), 1L).otherwise(0L)).as("succeeded"),
+        sum(when(!col("success"), 1L).otherwise(0L)).as("failed"),
+        sum(col("words_corrected").cast("long")).as("words_corrected"),
+        sum(col("patterns_detected").cast("long")).as("patterns_detected"),
+        avg(col("conf_delta")).as("avg_conf_delta"))
+      .as[ExtractedTurn]
+    (observed, obs)
+  }
+
   /** Conversation-level assembly: the reference's `'\n\n'.join(pages)` in
     * stable page order (tesseract_engine.py:253, multi_engine.py:588) →
     * one hash aggregation; order restored by sort_array over

@@ -1,0 +1,109 @@
+package graft.kernel
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property hardening of the pure kernel (SURVEY.md §5.3): arbitrary
+  * unicode input must never throw; spans must be valid offsets into the
+  * cleaned text; cleanup must be idempotent; chunkers must respect bounds.
+  *
+  * Uses raw ScalaCheck generators with a fixed seed (the scalatest-plus
+  * bridge isn't in the offline cache) — 200 deterministic samples per
+  * property.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  // mixes plain words, OCR-confusable tokens, pattern-shaped fragments,
+  // control chars, unicode, long runs
+  private val fragment: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(12)),
+    Gen.oneOf("rn", "cl", "0", "O", "l", "1", "S", "5", "nao", "dr", "sr"),
+    Gen.oneOf("123.456.789-09", "11.222.333/0001-81", "01/02/2023", "25:99",
+      "x@y.zw", "R$ 1.500,00", "http://a.b", "(11) 98765-4321"),
+    Gen.oneOf(" ", "", "​", " ", "ação", "ÀÉÎÕÜ", "日本語", "🙂"),
+    Gen.listOfN(5, Gen.oneOf("\n", "\n\n", "\t", " ", "  ")).map(_.mkString),
+    Gen.const("a" * 600))
+
+  private val textGen: Gen[String] =
+    Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, fragment)).map(_.mkString(" "))
+
+  private def samples(n: Int): Seq[String] = {
+    var seed = Seed(42L)
+    (1 to n).map { _ =>
+      val s = textGen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      s
+    }
+  }
+
+  private val corpus = samples(200)
+
+  test("kernel never throws; output metrics are consistent") {
+    val kernel = new TextKernel
+    corpus.foreach { text =>
+      val res = kernel.processSafe(text)
+      res.foreach { r =>
+        // kernel lengths are python len() = code points, not UTF-16 units
+        assert(r.metrics.originalLength == text.codePointCount(0, text.length))
+        assert(r.metrics.processedLength == r.text.codePointCount(0, r.text.length))
+        assert(r.metrics.confidenceImprovement >= 0.0 &&
+          r.metrics.confidenceImprovement <= 0.30 + 1e-12)
+      }
+    }
+  }
+
+  test("repeated cleanup matches the reference's (non-idempotent) behavior exactly") {
+    // The REFERENCE pipeline is itself not idempotent: abbreviation
+    // expansion + punctuation spacing regrow a trailing " ." each pass
+    // (verified by executing text_processor.py on this input). We reproduce
+    // that behavior bit-for-bit rather than "fixing" it (SURVEY.md §7.4).
+    val kernel = new TextKernel
+    val t0 = "  \n \n  \n\t   0 ação ​ 1 123.456.789-09 dr \n"
+    val t1 = kernel.processSafe(t0).get.text
+    assert(t1 == "o ação 1 123. 456. 789-09 dr.")
+    val t2 = kernel.processSafe(t1).get.text
+    assert(t2 == "o ação 1 123. 456. 789-09 dr. .")
+    val t3 = kernel.processSafe(t2).get.text
+    assert(t3 == "o ação 1 123. 456. 789-09 dr. . .")
+  }
+
+  test("spans are valid offsets and raw matches slice the text") {
+    val kernel = new TextKernel
+    corpus.foreach { text =>
+      val cleaned = kernel.processSafe(text).map(_.text).getOrElse("")
+      SpanTemplates.identify(cleaned).toSeq.flatMap(_.extractFields(cleaned)).foreach { f =>
+        assert(f.start >= 0 && f.start <= f.end && f.end <= cleaned.length,
+          s"span out of range: $f in len=${cleaned.length}")
+        assert(cleaned.substring(f.start, f.end) == f.raw,
+          s"raw mismatch: '${cleaned.substring(f.start, f.end)}' vs '${f.raw}'")
+      }
+    }
+  }
+
+  test("chunkers never exceed bounds and lose no words") {
+    corpus.foreach { text =>
+      val idx = Chunker.index(text, maxLength = 64)
+      assert(idx.flatMap(Py.splitWs(_)).toSeq == Py.splitWs(text).toSeq)
+      idx.foreach { c =>
+        assert(c.length <= 64 || !c.contains(" "),
+          s"multi-word chunk over bound: ${c.length}")
+      }
+      // semantic variant loses no NEW words either (overlap duplicates ok)
+      val sem = Chunker.semantic(text, chunkSize = 64, overlapWords = 4)
+      val semWords = sem.flatMap(Py.splitWs(_)).toSet
+      assert(Py.splitWs(text).toSet.subsetOf(semWords) || Py.strip(text).length < 10)
+    }
+  }
+
+  test("sections/row-extractors never throw and produce well-formed output") {
+    corpus.foreach { text =>
+      Sections.split(text).foreach(s => assert(s.name.nonEmpty))
+      Sections.historyEvents(text).foreach { e =>
+        assert(e.data.nonEmpty && e.descricao.nonEmpty)
+      }
+      Sections.pedidos(text).foreach(p => assert(p.length > 10))
+      Sections.creditorRows(text).foreach(r => assert(r.item.nonEmpty))
+    }
+  }
+}
