@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions registrar — makes the native expressions callable
+  * from SQL as `graft_cosine(a, b)` / `graft_dot(a, b)`:
+  *
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  *   // or .withExtensions(new GraftExtensions)
+  *
+  * (SURVEY.md §4.3 — the only custom Catalyst surface this engine needs;
+  * everything else is DataFrame API + kernels.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(clazz: Class[_], name: String): ExpressionInfo =
+    new ExpressionInfo(clazz.getName, null, name,
+      "_FUNC_(a, b) - fused float-vector fold over two ARRAY<FLOAT> columns", "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      info(classOf[CosineSimilarity], "graft_cosine"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      info(classOf[DotProduct], "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+  }
+}

@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for Array[Float] embedding math — the
+  * custom-`Expression` tier of SURVEY.md §4.3: a single fused codegen loop
+  * (no per-element boxing, no lambda-function dispatch) replacing the
+  * `zip_with` + `aggregate` higher-order-function chain on the ANN hot
+  * path. Registered as SQL functions `graft_cosine` / `graft_dot` via
+  * [[GraftExtensions]] (SparkSessionExtensions), and exposed as Columns via
+  * [[VectorFunctions]].
+  *
+  * Null handling: null array → null result (BinaryExpression nullSafeEval);
+  * null ELEMENTS count as 0.0 (embeddings never carry null elements; the
+  * guard keeps the expression total).
+  */
+abstract class FloatVectorFold extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+  override def dataType: DataType = DoubleType
+
+  protected def finishJava(dot: String, na: String, nb: String, out: String): String
+  protected def finish(dot: Double, na: Double, nb: Double): Double
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (x.isNullAt(i)) 0.0 else x.getFloat(i).toDouble
+      val yv = if (y.isNullAt(i)) 0.0 else y.getFloat(i).toDouble
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    finish(dot, na, nb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $x.isNullAt($i) ? 0.0 : (double) $x.getFloat($i);
+         |  double $yv = $y.isNullAt($i) ? 0.0 : (double) $y.getFloat($i);
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |${finishJava(dot, na, nb, ev.value.toString)}
+       """.stripMargin
+    })
+}
+
+/** cosine(a, b) = dot/(|a||b|); 0.0 when either norm is 0 (matches
+  * graft.operators.Similarity.cosine and DuckDB list_cosine_similarity
+  * accumulation order).
+  */
+case class CosineSimilarity(left: Expression, right: Expression) extends FloatVectorFold {
+  override def prettyName: String = "graft_cosine"
+  protected def finish(dot: Double, na: Double, nb: Double): Double =
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  protected def finishJava(dot: String, na: String, nb: String, out: String): String =
+    s"$out = ($na == 0.0 || $nb == 0.0) ? 0.0 : $dot / java.lang.Math.sqrt($na * $nb);"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** dot(a, b) — plain inner product. */
+case class DotProduct(left: Expression, right: Expression) extends FloatVectorFold {
+  override def prettyName: String = "graft_dot"
+  protected def finish(dot: Double, na: Double, nb: Double): Double = dot
+  protected def finishJava(dot: String, na: String, nb: String, out: String): String =
+    s"$out = $dot;"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Column-API surface for the native expressions. */
+object VectorFunctions {
+  import org.apache.spark.sql.graftbridge.{Bridge => ExpressionUtils}
+
+  private def floatArrayLit(q: Array[Float]): Expression =
+    Literal.create(
+      new GenericArrayData(q.map(_.asInstanceOf[Any])),
+      ArrayType(FloatType, containsNull = false))
+
+  def cosine(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def cosineConst(a: Column, q: Array[Float]): Column =
+    ExpressionUtils.column(
+      CosineSimilarity(ExpressionUtils.expression(a), floatArrayLit(q)))
+
+  def dot(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def dotConst(a: Column, q: Array[Float]): Column =
+    ExpressionUtils.column(
+      DotProduct(ExpressionUtils.expression(a), floatArrayLit(q)))
+}

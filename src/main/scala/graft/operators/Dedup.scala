@@ -304,10 +304,9 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .distinct()
 
-    val cosUdf = udf((a: Seq[Float], b: Seq[Float]) =>
-      Similarity.cosine(a.toArray, b.toArray))
     pairs
-      .withColumn("cosine", cosUdf(col("v_a"), col("v_b")))
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.cosine(col("v_a"), col("v_b")))
       .where(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
   }
