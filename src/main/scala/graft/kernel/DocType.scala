@@ -43,10 +43,28 @@ object DocType {
 
   val Generic = "documento_generico"
 
+  /** Longest `.*`-separated pure-literal segment of a pattern — a
+    * mandatory substring of any match, so a `contains` miss proves the
+    * regex cannot match (prefilter; semantics unchanged). "" = no literal
+    * segment, always run the regex.
+    */
+  private def requiredLiteral(src: String): String = {
+    val lits = src.split("""\.\*""").filter(s =>
+      s.nonEmpty && s.forall(c => Character.isLetter(c) || c == ' '))
+    if (lits.isEmpty) "" else lits.maxBy(_.length)
+  }
+
+  private val familiesWithLits: Seq[(String, Seq[(Pattern, String)])] =
+    families.map { case (name, pats) =>
+      name -> pats.map(p => (p, requiredLiteral(p.pattern())))
+    }
+
   def classify(text: String): String = {
     val lowered = lower(text)
-    val scores = families.map { case (name, pats) =>
-      name -> pats.count(p => p.matcher(lowered).find())
+    val scores = familiesWithLits.map { case (name, pats) =>
+      name -> pats.count { case (p, lit) =>
+        (lit.isEmpty || lowered.contains(lit)) && p.matcher(lowered).find()
+      }
     }
     val maxScore = scores.map(_._2).max
     if (maxScore >= 2) scores.find(_._2 == maxScore).get._1

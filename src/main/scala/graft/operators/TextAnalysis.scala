@@ -42,9 +42,20 @@ object TextAnalysis {
     * minimum-evidence threshold of 2, ties broken by inventory order;
     * otherwise "und". Mirrors the reference's language handling being a
     * lookup/heuristic, not a model (tesseract_engine.py:351-375).
+    *
+    * Single pass: ONE `aggregate` over the token array accumulates all
+    * marker counts into a struct (the naive per-language fold re-split the
+    * text 2×|langs| times); the final argmax is a scalar when-ladder with
+    * identical tie semantics to the oracle SQL.
     */
   def langId(text: Column): Column = {
-    val hits = markers.map { case (lang, ws) => lang -> markerHits(text, ws) }
+    val names = markers.map(_._1)
+    val zero = struct(names.map(n => lit(0).as(n)): _*)
+    val counts = aggregate(tokens(text), zero, (acc, t) =>
+      struct(markers.map { case (lang, ws) =>
+        (acc.getField(lang) + when(t.isin(ws: _*), 1).otherwise(0)).as(lang)
+      }: _*))
+    val hits = names.map(n => n -> counts.getField(n))
     val best = hits.foldLeft((lit("und"), lit(1))) {
       case ((bestLang, bestHits), (lang, h)) =>
         // strictly-greater keeps earlier languages on ties (priority order)

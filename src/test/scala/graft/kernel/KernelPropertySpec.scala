@@ -96,6 +96,11 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("abbreviation prefilter safety: no expansion creates a later abbreviation") {
+    assert(new TextKernel().abbreviationPrefilterSafe,
+      "table property violated — the alternation prefilter would change semantics")
+  }
+
   test("sections/row-extractors never throw and produce well-formed output") {
     corpus.foreach { text =>
       Sections.split(text).foreach(s => assert(s.name.nonEmpty))
