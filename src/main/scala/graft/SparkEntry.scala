@@ -367,6 +367,13 @@ object SparkEntry {
         .join(idx.conversations.select(col("conv_id"), col("n_turns"), col("content_hash")),
           Seq("conv_id"))
     }),
+    // approximate heavy hitters (space-saving sketch) over document tokens
+    "x14_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .where(col("tok") =!= "")
+      graft.operators.HeavyHitters.heavyHitters(toks, col("tok"), 100)
+    }),
     // multimodal feature extraction: batched pooled decode (stubbed codec)
     "x12_multimodal_features" -> ((s, dir) => {
       import s.implicits._

@@ -1,0 +1,132 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Approximate heavy hitters via the Space-Saving sketch (Metwally et al.,
+  * "Efficient Computation of Frequent and Top-k Elements in Data Streams",
+  * ICDT 2005) as a typed Spark `Aggregator` — the custom-TypedColumn tier
+  * of the build rules (scalar/agg functions Spark lacks).
+  *
+  * Guarantees (standard Space-Saving): with `capacity` counters, any item
+  * with true frequency > N/capacity is present in the sketch, and each
+  * reported count overestimates by at most its recorded `error`.
+  *
+  * Scale shape: the sketch is a bounded (capacity ≤ a few thousand)
+  * mergeable buffer, so the aggregation is one shuffle of tiny partial
+  * sketches (map-side combine does the heavy lifting) — frequency mining
+  * over 10^12 tokens without a groupBy over the full key space.
+  */
+object HeavyHitters {
+
+  /** counter: item → (count, error). Buffer kept as parallel sequences for
+    * a stable Encoder.
+    */
+  final case class Sketch(items: Seq[String], counts: Seq[Long], errors: Seq[Long])
+
+  final case class HeavyHitter(item: String, count: Long, error: Long)
+
+  private final class Buffer(val capacity: Int) {
+    val map: mutable.LinkedHashMap[String, (Long, Long)] = mutable.LinkedHashMap.empty
+
+    def add(item: String, weight: Long = 1L): Unit = {
+      map.get(item) match {
+        case Some((c, e)) => map.update(item, (c + weight, e))
+        case None =>
+          if (map.size < capacity) map.update(item, (weight, 0L))
+          else {
+            // evict the min-count item; inherit its count as error
+            val (minItem, (minC, _)) = map.minBy(_._2._1)
+            map.remove(minItem)
+            map.update(item, (minC + weight, minC))
+          }
+      }
+    }
+
+    def mergeIn(other: Buffer): Unit = {
+      // mergeable-summaries form (Agarwal et al., PODS'12): union with
+      // counts/errors summed for shared items, then truncate to the
+      // `capacity` largest counts. Preserves the overcount bound
+      // (count ≤ true + error) and the heavy-item capture guarantee.
+      other.map.foreach { case (item, (c, e)) =>
+        map.get(item) match {
+          case Some((c0, e0)) => map.update(item, (c0 + c, e0 + e))
+          case None           => map.update(item, (c, e))
+        }
+      }
+      if (map.size > capacity) {
+        val keep = map.toSeq.sortBy { case (i, (c, _)) => (-c, i) }.take(capacity)
+        map.clear()
+        keep.foreach { case (i, ce) => map.update(i, ce) }
+      }
+    }
+
+    def toSketch: Sketch = {
+      val s = map.toSeq.sortBy { case (i, (c, _)) => (-c, i) }
+      Sketch(s.map(_._1), s.map(_._2._1), s.map(_._2._2))
+    }
+  }
+
+  private def fromSketch(s: Sketch, capacity: Int): Buffer = {
+    val b = new Buffer(capacity)
+    s.items.indices.foreach(i => b.map.update(s.items(i), (s.counts(i), s.errors(i))))
+    b
+  }
+
+  final class SpaceSaving(capacity: Int) extends Aggregator[String, Sketch, Seq[HeavyHitter]] {
+    def zero: Sketch = Sketch(Seq.empty, Seq.empty, Seq.empty)
+    def reduce(buf: Sketch, item: String): Sketch = {
+      val b = fromSketch(buf, capacity)
+      if (item != null) b.add(item)
+      b.toSketch
+    }
+    def merge(a: Sketch, b: Sketch): Sketch = {
+      val ba = fromSketch(a, capacity)
+      ba.mergeIn(fromSketch(b, capacity))
+      ba.toSketch
+    }
+    def finish(s: Sketch): Seq[HeavyHitter] =
+      s.items.indices.map(i => HeavyHitter(s.items(i), s.counts(i), s.errors(i)))
+    def bufferEncoder: Encoder[Sketch] = Encoders.product[Sketch]
+    def outputEncoder: Encoder[Seq[HeavyHitter]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[HeavyHitter]]()
+  }
+
+  /** Column form (composable in any agg): `df.agg(HeavyHitters.topK(c, 64))`.
+    * NOTE: the SQL-aggregation path re-encodes the buffer per input row
+    * (O(capacity)/row) — fine for composition over pre-aggregated data; for
+    * raw streams use [[heavyHitters]], which builds one mutable sketch per
+    * partition and merges the tiny partials.
+    */
+  def topK(column: Column, capacity: Int): Column =
+    udaf(new SpaceSaving(capacity)).apply(column)
+
+  /** Efficient path: one mutable sketch per partition (narrow pass), then a
+    * merge of ≤numPartitions tiny sketches — the shape that scales to 10^12
+    * rows. Returns (item, count, error) count-descending.
+    */
+  def heavyHitters(df: DataFrame, column: Column, capacity: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val partials = df.select(column.cast("string")).as[String]
+      .mapPartitions { it =>
+        val b = new Buffer(capacity)
+        it.foreach(s => if (s != null) b.add(s))
+        Iterator.single(b.toSketch)
+      }
+    val rows = partials.collect() match {
+      case Array() => Seq.empty[HeavyHitter]
+      case parts =>
+        val acc = fromSketch(parts.head, capacity)
+        parts.tail.foreach(p => acc.mergeIn(fromSketch(p, capacity)))
+        val s = acc.toSketch
+        s.items.indices.map(i => HeavyHitter(s.items(i), s.counts(i), s.errors(i)))
+    }
+    spark.createDataset(rows).toDF()
+      .orderBy(org.apache.spark.sql.functions.col("count").desc,
+        org.apache.spark.sql.functions.col("item"))
+  }
+}

@@ -329,6 +329,46 @@ class Operators2Spec extends AnyFunSuite with BeforeAndAfterAll {
       extracted.where(!col("success")).count())
   }
 
+  // ---------- heavy hitters (space-saving sketch) ----------
+
+  test("space-saving heavy hitters: exact when capacity covers keys; capture + overcount bound when not") {
+    val sp = spark; import sp.implicits._
+    // skewed multiset: itemK appears ~3000/k times, plus a rare tail
+    val skewed = (1 to 40).flatMap(k => Seq.fill(3000 / k)(s"item$k"))
+    val rares = (0 until 4000).map(i => s"rare$i")
+    val all = (skewed ++ rares)
+      .sortBy(s => graft.pipeline.TranscriptGen.sm64(s.hashCode.toLong)) // deterministic shuffle
+    val df = all.toDF("s").repartition(8)
+    val exact = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    // capacity >= distinct keys: no evictions anywhere -> counts are exact
+    val big = HeavyHitters.heavyHitters(df, col("s"), capacity = 5000)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(big == exact)
+
+    // small capacity: every item with freq > 2N/capacity captured; every
+    // reported count obeys count <= exact + error
+    val cap = 64
+    val got = HeavyHitters.heavyHitters(df, col("s"), cap)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length <= cap)
+    val n = all.size.toLong
+    val mustCapture = exact.filter(_._2 > 2 * n / cap).keySet
+    val captured = got.map(_._1).toSet
+    assert(mustCapture.subsetOf(captured),
+      s"missed heavy items: ${mustCapture -- captured}")
+    got.foreach { case (item, count, error) =>
+      assert(count <= exact(item) + error,
+        s"overcount bound violated for $item: $count > ${exact(item)} + $error")
+    }
+
+    // the composable udaf path agrees with the partition path on the top items
+    val viaUdaf = df.agg(HeavyHitters.topK(col("s"), cap).as("hh"))
+      .select(explode(col("hh")).as("h")).select("h.item", "h.count")
+      .collect().map(r => r.getString(0)).toSet
+    assert(mustCapture.subsetOf(viaUdaf))
+  }
+
   // ---------- render ----------
 
   test("render: markdown and xml are deterministic and order-stable") {
