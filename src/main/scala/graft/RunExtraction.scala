@@ -18,10 +18,15 @@ import graft.schema.Turn
   */
 object RunExtraction {
 
-  private def parseArgs(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    require(args.length % 2 == 0,
+      s"odd argument count — every --flag needs a value: ${args.mkString(" ")}")
+    args.sliding(2, 2).map {
+      case Array(k, v) if k.startsWith("--") && !v.startsWith("--") => k.drop(2) -> v
+      case Array(k, v) =>
+        sys.error(s"malformed pair '$k $v' — expected --flag value")
     }.toMap
+  }
 
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)
@@ -37,8 +42,13 @@ object RunExtraction {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-    // default for bare `java -cp` / local test invocations; spark-submit's
-    // --master always wins because it sets spark.master first
+      // keep doc-level collect_list aggregations in hash mode (the 128-
+      // groups-per-partition default silently degrades to sort-based)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "100000")
+    // spark-submit supplies spark.master via system properties; fall back
+    // to local[*] only when launched as a bare JVM (tests, scripts)
+    if (!sys.props.contains("spark.master") && !sys.env.contains("MASTER"))
+      builder.master("local[*]")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

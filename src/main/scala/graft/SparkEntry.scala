@@ -213,11 +213,19 @@ object SparkEntry {
     }),
 
     // ---- brute-force cosine top-k (similarity baseline) ----
+    // scoring kept on the HOF formulation (dot/(sqrt(na)*sqrt(nb))) whose
+    // accumulation order is value-identical to DuckDB's
+    // list_cosine_similarity — the native graft_cosine path (x05/x08)
+    // differs in the last ulp, which could flip a rank on a near-tie
     "q16_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0)
         .select(col("embedding")).first().getSeq[Float](0).toArray
-      val top = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10)
+      val top = emb.select(
+        col("vec_id").as("id"),
+        Similarity.cosineWithConst(col("embedding"), q).as("cosine"))
+        .orderBy(col("cosine").desc, col("id"))
+        .limit(10)
       top.withColumn("rank",
         row_number().over(Window.orderBy(col("cosine").desc, col("id"))))
         .select(col("rank"), col("id").as("vec_id"))

@@ -17,7 +17,9 @@ import org.apache.spark.sql.types._
   *
   * Null handling: null array → null result (BinaryExpression nullSafeEval);
   * null ELEMENTS count as 0.0 (embeddings never carry null elements; the
-  * guard keeps the expression total).
+  * guard keeps the expression total). Ragged inputs fold over the common
+  * prefix (min length) — unlike `zip_with`, which nulls the whole result;
+  * embedding columns are fixed-dimension so neither path is exercised.
   */
 abstract class FloatVectorFold extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = {

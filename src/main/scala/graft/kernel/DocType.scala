@@ -49,6 +49,10 @@ object DocType {
     * segment, always run the regex.
     */
   private def requiredLiteral(src: String): String = {
+    // a `.*`-separated literal segment is mandatory ONLY in a pattern with
+    // no alternation/optionality at any level — bail out ("" = no
+    // prefilter) if such metachars appear anywhere
+    if (src.exists(c => c == '|' || c == '?' || c == '(' || c == '{')) return ""
     val lits = src.split("""\.\*""").filter(s =>
       s.nonEmpty && s.forall(c => Character.isLetter(c) || c == ' '))
     if (lits.isEmpty) "" else lits.maxBy(_.length)

@@ -241,7 +241,8 @@ object Dedup {
       })
       .toDF("id", "sh")
       .select(col("id"), col("sh"), size(col("sh")).as("n"))
-    shingled.persist()
+    // no persist: set sizes are carried through the postings (single
+    // consumer), so nothing is recomputed
 
     val postings = shingled
       .select(col("id"), col("n"), explode(col("sh")).as("s"))

@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions.udaf
   * ICDT 2005) as a typed Spark `Aggregator` — the custom-TypedColumn tier
   * of the build rules (scalar/agg functions Spark lacks).
   *
-  * Guarantees (standard Space-Saving): with `capacity` counters, any item
-  * with true frequency > N/capacity is present in the sketch, and each
-  * reported count overestimates by at most its recorded `error`.
+  * Guarantees: a SINGLE sketch with `capacity` counters captures any item
+  * with true frequency > N/capacity, overestimating each count by at most
+  * its recorded `error`. The MERGED per-partition path (union + truncate,
+  * mergeable-summaries form) weakens capture to frequency > 2N/capacity —
+  * mass an item loses to evictions inside partials is gone before the
+  * merge. Size `capacity` for the merged bound; tests assert it.
   *
   * Scale shape: the sketch is a bounded (capacity ≤ a few thousand)
   * mergeable buffer, so the aggregation is one shuffle of tiny partial

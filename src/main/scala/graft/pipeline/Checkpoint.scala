@@ -109,8 +109,16 @@ object Checkpoint {
       val withBucket = turns
         .withColumn("part_id", pmod(hash(col("conv_id")), lit(numBuckets)))
         .where(col("part_id").isin(group: _*))
+      // salted spread of giant conversations across tasks (the analog of
+      // the reference's 50-page PDF split); without it a conversation
+      // clustered into one input split serializes through one task
+      val spread =
+        if (saltBuckets > 1)
+          withBucket.repartition(
+            col("conv_id"), pmod(hash(col("turn_idx")), lit(saltBuckets)))
+        else withBucket
       import spark.implicits._
-      val bucketed = withBucket.as[TurnWithBucket]
+      val bucketed = spread.as[TurnWithBucket]
       val extracted = bucketed.mapPartitions { it =>
         val kernel = new graft.kernel.TextKernel
         it.map { tb =>

@@ -21,12 +21,20 @@ import graft.schema.ExtractedTurn
   */
 object SearchIndex {
 
-  final case class IndexTables(conversations: DataFrame, turns: DataFrame, chunks: DataFrame)
+  final case class IndexTables(
+      conversations: DataFrame, turns: DataFrame, chunks: DataFrame,
+      private val cached: DataFrame) {
+    /** release the shared cached extraction once all three are written */
+    def unpersist(): Unit = { cached.unpersist(); () }
+  }
 
   def build(extracted: Dataset[ExtractedTurn], chunkMaxLen: Int = 500): IndexTables = {
-    val ok = extracted.where(col("success"))
+    // one pass: the three tables share this cached projection — without it
+    // each table's write would re-run the full extraction kernel lineage.
+    // Call IndexTables.unpersist() after the sinks are materialized.
+    val ok = extracted.where(col("success")).persist()
 
-    val conversations = ExtractionJob.assemble(extracted)
+    val conversations = ExtractionJob.assemble(ok) // reuses the cache
       .withColumn("content_hash", md5(col("full_text")))
       .select("conv_id", "n_turns", "full_text", "content_hash",
         "avg_conf_delta", "total_patterns")
@@ -42,7 +50,7 @@ object SearchIndex {
         posexplode(chunkUdf(col("text_clean"))).as(Seq("chunk_idx", "chunk_text")))
       .withColumn("chunk_hash", md5(col("chunk_text")))
 
-    IndexTables(conversations, turns, chunks)
+    IndexTables(conversations, turns, chunks, ok.toDF())
   }
 
   /** The searchable-sink join shape (SURVEY.md S7/J1): align extracted text

@@ -55,6 +55,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.size == all.size)
   }
 
+  test("maxFilesPerTrigger bounds micro-batches (the reference's batch_size=5 watcher semantics)") {
+    val sp = spark; import sp.implicits._
+    val inDir = Files.createTempDirectory("graft-mb-in").toString
+    val ckpt = Files.createTempDirectory("graft-mb-ckpt").toString
+    val turns = TranscriptGen.dataset(spark, 6).collect().toSeq
+    // 12 separate files
+    turns.grouped(math.max(turns.size / 12, 1)).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDS().coalesce(1).write.mode("append").parquet(inDir)
+    }
+    val nFiles = new java.io.File(inDir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles >= 10)
+
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingExtract.readTurns(spark, inDir, maxFilesPerTrigger = 5)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Turn], _: Long) =>
+        batchSizes.synchronized { batchSizes += batch.count() }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(batchSizes.size >= 3, s"expected >=3 micro-batches for $nFiles files at 5/trigger, got $batchSizes")
+    assert(batchSizes.sum == turns.size.toLong)
+  }
+
   test("stateful conversation progress via mapGroupsWithState accumulates across batches") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
