@@ -129,6 +129,40 @@ for conv in range(N_CONVS):
             seen.add(t)
             corpus.append(t)
 
+# ---- adversarial corpus: control chars, unicode (incl. astral), pattern-
+# shaped fragments, OCR-confusables, long runs, pathological whitespace —
+# deterministic via sm64, mirroring the shapes KernelPropertySpec fuzzes,
+# but here with the REFERENCE as the oracle (byte-for-byte equality). ----
+ADV_FRAGMENTS = [
+    "rn", "cl", "0", "O", "l", "1", "S", "5", "nao", "dr", "sr", "profa",
+    "123.456.789-09", "123.456.789-00", "11.222.333/0001-81", "01/02/2023",
+    "29/02/2024", "25:99", "14:3", "x@y.zw", "R$ 1.500,00", "R$",
+    "http://a.b/c?d=1", "https://", "(11) 98765-4321", "01234-567",
+    "0000000-00.0000.0.00.0000",
+    "ação", "ÀÉÎÕÜ", "coraçao", "informacao", "日本語", "🙂", "a\x00b",
+    "x\x07y", "​", " ", "tab\there", "nl\nnl", "dbl\n\nnl",
+    "  ", "...", "!?;:", "(paren", "paren)", '"quoted"', "um,dois;tres",
+    "a" * 50, "MiXeD CaSe WoRdS", "UPPER CASE", "Title Case",
+]
+
+def adv_text(i):
+    s = sm64(0xADF00 + i)
+    k = 1 + ((s >> 33) % 8)
+    parts = []
+    for _ in range(k):
+        s = sm64(s)
+        parts.append(ADV_FRAGMENTS[(s >> 33) % len(ADV_FRAGMENTS)])
+    seps = [" ", " ", " ", "\n", "\n\n", "", "\t"]
+    s = sm64(s)
+    sep = seps[(s >> 33) % len(seps)]
+    return sep.join(parts)
+
+for i in range(300):
+    t = adv_text(i)
+    if t not in seen:
+        seen.add(t)
+        corpus.append(t)
+
 # ---- run oracle ----
 rows = []
 for text in corpus:
