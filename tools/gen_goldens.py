@@ -143,6 +143,8 @@ ADV_FRAGMENTS = [
     "x\x07y", "​", " ", "tab\there", "nl\nnl", "dbl\n\nnl",
     "  ", "...", "!?;:", "(paren", "paren)", '"quoted"', "um,dois;tres",
     "a" * 50, "MiXeD CaSe WoRdS", "UPPER CASE", "Title Case",
+    "\U0001d400l", "\U0001d49cction", "x\U0001d400l5y",  # astral letters (surrogate-pair Lu/Lu)
+
 ]
 
 def adv_text(i):
