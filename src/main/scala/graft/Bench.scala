@@ -100,11 +100,11 @@ object Bench {
     val scaleConvs = benchConvs * 2
     spark = session(loCores)
     runToNoop(ExtractionJob.extract(TranscriptGen.dataset(spark, 200)).toDF()) // warm
-    val tLo = extractionSeconds(spark, scaleConvs, runs = 3)
+    val tLo = extractionSeconds(spark, scaleConvs, runs = 2)
     spark.stop()
     spark = session(hiCores)
     runToNoop(ExtractionJob.extract(TranscriptGen.dataset(spark, 200)).toDF()) // warm
-    val tHi = extractionSeconds(spark, scaleConvs, runs = 3)
+    val tHi = extractionSeconds(spark, scaleConvs, runs = 2)
     spark.stop()
     val efficiency = (tLo / tHi) / (hiCores.toDouble / loCores)
 
