@@ -276,6 +276,22 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // ---- exact length-distribution profile (oracle: quantile_cont) ----
+    "q21_length_profile" -> ((s, dir) => {
+      graft.operators.Curation.lengthProfile(t(s, dir, "documents"), "lang", "n_chars")
+    }),
+
+    // ---- deterministic hash split (reproducible train/val/test) ----
+    "q22_split_counts" -> ((s, dir) => {
+      val split = graft.operators.Curation.splitAssign(
+        col("doc_id"), Seq(("train", 80), ("val", 10), ("test", 10)))
+      t(s, dir, "documents")
+        .select(split.as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("split"))
+    }),
+
     // ================= rows-only checks (not SQL-expressible) ============
     // extraction pipeline per-turn output (verified vs reference goldens in
     // sbt test; DuckDB cannot replicate the CPython-semantics kernel)
@@ -374,6 +390,16 @@ object SparkEntry {
           countDistinct(col("chunk_hash")).as("n_distinct_chunks"))
         .join(idx.conversations.select(col("conv_id"), col("n_turns"), col("content_hash")),
           Seq("conv_id"))
+    }),
+    // benchmark decontamination: planted contaminated "test" docs must pair
+    // with their train source via shared n-grams
+    "x15_contamination" -> ((s, dir) => {
+      val train = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val test = train.where(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(lit("prefix noise "), col("text")).as("text"))
+      graft.operators.Curation.contamination(
+        train, "doc_id", "text", test, "doc_id", "text", n = 8, minCommon = 2)
     }),
     // approximate heavy hitters (space-saving sketch) over document tokens
     "x14_heavy_hitters" -> ((s, dir) => {
@@ -537,6 +563,23 @@ object SparkEntry {
         |SELECT doc_id,
         |  round(greatest(0.0, least(1.0, conf * 0.4 + speed_score * 0.2 + 1.0 * 0.3 + content_score * 0.1)), 4) AS quality_score
         |FROM s ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "q21_length_profile" ->
+      """SELECT lang, count(*) AS n,
+        |  quantile_cont(n_chars, 0.25) AS p25,
+        |  quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.75) AS p75,
+        |  min(n_chars) AS min_len, max(n_chars) AS max_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q22_split_counts" ->
+      s"""WITH b AS (
+         |  SELECT ${graft.operators.Curation.hashBucketSql("doc_id", 100)} AS bucket
+         |  FROM documents)
+         |SELECT CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q16_ann_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

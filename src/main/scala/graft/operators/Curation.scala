@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators for training-data pipelines: deterministic
+  * splits, benchmark decontamination, and distribution profiling.
+  */
+object Curation {
+
+  /** Deterministic hash split: bucket = first 8 hex chars of md5(key) mod
+    * `buckets`. Reproducible across engines, runs, partitionings — the
+    * train/val/test assignment survives re-shuffles and appends (each row's
+    * split depends only on its key). md5 (not xxhash64) so the DuckDB
+    * oracle computes the identical assignment.
+    */
+  def hashBucket(key: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong)).cast("int")
+
+  def hashBucketSql(keyExpr: String, buckets: Int): String =
+    s"CAST(CAST('0x' || substring(md5(CAST($keyExpr AS VARCHAR)), 1, 8) AS BIGINT) % $buckets AS INT)"
+
+  /** Split assignment: e.g. splits = Seq(("train", 98), ("val", 1),
+    * ("test", 1)) assigns buckets 0-97 → train, 98 → val, 99 → test.
+    */
+  def splitAssign(key: Column, splits: Seq[(String, Int)]): Column = {
+    val total = splits.map(_._2).sum
+    val b = hashBucket(key, total)
+    val (ladder, _) = splits.foldLeft((lit(null).cast("string"), 0)) {
+      case ((acc, off), (name, width)) =>
+        (when(b >= off && b < off + width, lit(name)).otherwise(acc), off + width)
+    }
+    ladder
+  }
+
+  /** Benchmark-contamination detector: test documents sharing ≥
+    * `minCommon` word `n`-grams with any train document. Inverted-index
+    * join on shingle hashes (one shuffle on the shingle key, df-capped
+    * against stop-shingle blowup) — the standard decontamination stage of
+    * a training-data pipeline, cross-table variant of
+    * [[Dedup.ngramJaccardNearDups]].
+    *
+    * Returns (test_id, train_id, common) pairs.
+    */
+  def contamination(
+      train: DataFrame, trainId: String, trainText: String,
+      test: DataFrame, testId: String, testText: String,
+      n: Int = 8, minCommon: Int = 2, maxDocFreq: Int = 1024): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    def post(df: DataFrame, id: String, text: String, side: String) = df
+      .select(col(id).cast("long").as("id"), col(text).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (i, t) =>
+        Dedup.shingles(Option(t).getOrElse(""), n).iterator.map(s => (s, i))
+      })
+      .toDF("s", s"${side}_id")
+
+    val trainPost = post(train, trainId, trainText, "train")
+      .groupBy(col("s")).agg(collect_set(col("train_id")).as("train_ids"))
+      .where(size(col("train_ids")) <= maxDocFreq)
+    val testPost = post(test, testId, testText, "test")
+
+    testPost
+      .join(trainPost, "s")
+      .select(col("test_id"), explode(col("train_ids")).as("train_id"))
+      .groupBy(col("test_id"), col("train_id"))
+      .agg(count(lit(1)).as("common"))
+      .where(col("common") >= minCommon)
+  }
+
+  /** Exact length-distribution profile per group — `percentile` is exact
+    * linear interpolation in both Spark and DuckDB (oracle-parity).
+    */
+  def lengthProfile(df: DataFrame, groupCol: String, lenCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        expr(s"percentile($lenCol, 0.25)").as("p25"),
+        expr(s"percentile($lenCol, 0.5)").as("p50"),
+        expr(s"percentile($lenCol, 0.75)").as("p75"),
+        min(col(lenCol)).as("min_len"),
+        max(col(lenCol)).as("max_len"))
+      .orderBy(col(groupCol))
+}

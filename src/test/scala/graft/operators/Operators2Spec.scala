@@ -369,6 +369,64 @@ class Operators2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mustCapture.subsetOf(viaUdaf))
   }
 
+  // ---------- curation: splits, contamination, profiling ----------
+
+  test("hash split: deterministic, partition-invariant, correct proportions") {
+    val sp = spark; import sp.implicits._
+    def bucketRef(key: String, buckets: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(8), 16) % buckets).toInt
+    }
+    val ids = (0L until 5000L)
+    val df = ids.toDF("id")
+    val got = df.select(col("id"), Curation.hashBucket(col("id"), 100).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    ids.foreach(i => assert(got(i) == bucketRef(i.toString, 100)))
+
+    val split = Curation.splitAssign(col("id"), Seq(("train", 80), ("val", 10), ("test", 10)))
+    val counts = df.repartition(7).select(split.as("s")).groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 5000L)
+    assert(math.abs(counts("train") - 4000L) < 200, s"train=$counts")
+    assert(counts("val") > 300 && counts("test") > 300)
+    // appending rows never changes existing assignments (hash of key only)
+    val counts2 = (0L until 7000L).toDF("id").select(split.as("s"))
+      .where(col("id") < 5000).groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts2 == counts)
+  }
+
+  test("contamination: planted test docs pair with their train source; clean docs don't") {
+    val sp = spark; import sp.implicits._
+    val train = corpus.toDF("doc_id", "text") // 48 word-salad docs
+    // contaminated: copies of train docs 0-9 with a prefix; clean: fresh text
+    val contaminated = (0L until 10L).map(i =>
+      (1000L + i, "xx yy " + corpus.find(_._1 == i).get._2))
+    val clean = (0L until 5L).map(i =>
+      (2000L + i, s"completely fresh unseen sentence number $i with no overlap at all"))
+    val test = (contaminated ++ clean).toDF("doc_id", "text")
+    val got = Curation.contamination(train, "doc_id", "text",
+      test, "doc_id", "text", n = 5, minCommon = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 10L).foreach { i =>
+      assert(got.contains((1000L + i, i)), s"missed planted pair ${1000 + i} -> $i")
+    }
+    assert(!got.exists(_._1 >= 2000L), s"false positives: ${got.filter(_._1 >= 2000L)}")
+  }
+
+  test("length profile: exact linear-interpolated percentiles") {
+    val sp = spark; import sp.implicits._
+    val lens = Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L)
+    val df = lens.map(("g", _)).toDF("g", "len")
+    val r = Curation.lengthProfile(df, "g", "len").collect().head
+    // type-7 linear interpolation: p25 of 8 sorted values = v[1.75]
+    assert(r.getAs[Double]("p25") == 27.5)
+    assert(r.getAs[Double]("p50") == 45.0)
+    assert(r.getAs[Double]("p75") == 62.5)
+    assert(r.getAs[Long]("min_len") == 10L && r.getAs[Long]("max_len") == 80L)
+  }
+
   // ---------- render ----------
 
   test("render: markdown and xml are deterministic and order-stable") {
