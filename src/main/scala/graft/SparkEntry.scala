@@ -401,6 +401,15 @@ object SparkEntry {
       graft.operators.Curation.contamination(
         train, "doc_id", "text", test, "doc_id", "text", n = 8, minCommon = 2)
     }),
+    // validation-aware PII redaction (invalid checksums left intact)
+    "x16_redact" -> ((s, dir) => {
+      graft.operators.Redact.redact(t(s, dir, "documents"), "doc_id", "text")
+        .toDF()
+        .select(col("id").as("doc_id"), md5(col("text_redacted")).as("red_md5"),
+          size(map_keys(col("redactions"))).as("n_types"))
+        .orderBy(col("doc_id"))
+        .limit(200)
+    }),
     // approximate heavy hitters (space-saving sketch) over document tokens
     "x14_heavy_hitters" -> ((s, dir) => {
       val toks = t(s, dir, "documents")

@@ -427,6 +427,43 @@ class Operators2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("min_len") == 10L && r.getAs[Long]("max_len") == 80L)
   }
 
+  // ---------- PII redaction ----------
+
+  test("redaction: validated patterns masked, invalid ones left intact") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, "CPF: 123.456.789-09 e email user@domain.com"), // valid cpf + email
+      (2L, "CPF invalido 123.456.789-00 fica"), // checksum fails -> kept
+      (3L, "tel (11) 99999-9999 em 09/07/2025 por R$ 1.500,00"),
+      (4L, "texto sem pii nenhum")).toDF("doc_id", "text")
+    val got = Redact.redact(df, "doc_id", "text")
+      .collect().map(r => r.id -> (r.text_redacted, r.redactions)).toMap
+    assert(got(1L)._1 == "CPF: [CPF] e email [EMAIL]")
+    assert(got(1L)._2 == Map("cpf" -> 1, "email" -> 1))
+    assert(got(2L)._1.contains("123.456.789-00"), "invalid CPF must remain")
+    assert(!got(2L)._2.contains("cpf"))
+    val r3 = got(3L)._1
+    assert(r3.contains("[PHONE]") && r3.contains("[DATE]") && r3.contains("[CURRENCY]"), r3)
+    assert(got(4L)._1 == "texto sem pii nenhum" && got(4L)._2.isEmpty)
+  }
+
+  // ---------- plan-shape regression guards ----------
+
+  test("plan guards: filter pushdown reaches the scan; dim joins broadcast; topk avoids full sort") {
+    val s = spark
+    def plan(q: String): String =
+      graft.SparkEntry.queries(q)(s, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString()
+    val p06 = plan("q06_filtered_sum")
+    assert(p06.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"q06 lost scan pushdown:\n${p06.take(800)}")
+    val p02 = plan("q02_region_revenue")
+    assert(p02.contains("BroadcastHashJoin"), "q02 lost broadcast joins")
+    assert(!p02.contains("SortMergeJoin"), "q02 dim join degraded to SMJ")
+    val p03 = plan("q03_top_orders")
+    assert(p03.contains("TakeOrderedAndProject"), "q03 limit lost TakeOrdered")
+  }
+
   // ---------- render ----------
 
   test("render: markdown and xml are deterministic and order-stable") {
