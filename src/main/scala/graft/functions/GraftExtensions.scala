@@ -17,8 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(clazz: Class[_], name: String): ExpressionInfo =
-    new ExpressionInfo(clazz.getName, null, name,
-      "_FUNC_(a, b) - fused float-vector fold over two ARRAY<FLOAT> columns", "")
+    new ExpressionInfo(clazz.getName, name)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((

@@ -139,8 +139,7 @@ object Py {
   /** Python str.capitalize() — first char titlecased, rest lowered. */
   def capitalize(s: String): String =
     if (s.isEmpty) s
-    else Character.toTitleCase(s.charAt(0)) +
-      s.substring(1).toLowerCase(java.util.Locale.ROOT)
+    else s"${Character.toTitleCase(s.charAt(0))}${s.substring(1).toLowerCase(java.util.Locale.ROOT)}"
 
   def lower(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
   def upper(s: String): String = s.toUpperCase(java.util.Locale.ROOT)
