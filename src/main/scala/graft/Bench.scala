@@ -81,8 +81,10 @@ object Bench {
     }
 
     // ---- phase 2: extraction throughput at full cores ----
+    // best-of-3: the box has intermittent multi-minute noisy-neighbor
+    // bursts; a single polluted run would misstate the headline number
     val totalTurns = TranscriptGen.totalTurns(benchConvs)
-    val tFull = extractionSeconds(spark, benchConvs)
+    val tFull = extractionSeconds(spark, benchConvs, runs = 3)
     val throughput = totalTurns / tFull
     spark.stop()
 
