@@ -36,17 +36,28 @@ object Curation {
 
   /** Benchmark-contamination detector: test documents sharing ≥
     * `minCommon` word `n`-grams with any train document. Inverted-index
-    * join on shingle hashes (one shuffle on the shingle key, df-capped
-    * against stop-shingle blowup) — the standard decontamination stage of
-    * a training-data pipeline, cross-table variant of
-    * [[Dedup.ngramJaccardNearDups]].
+    * join on shingle hashes (df-capped against stop-shingle blowup) — the
+    * standard decontamination stage of a training-data pipeline,
+    * cross-table variant of [[Dedup.ngramJaccardNearDups]].
+    *
+    * Scale shape: in real decontamination the benchmark side is tiny
+    * relative to the corpus, so the train postings are PRUNED with a
+    * semi-join on the distinct TEST shingle keys BEFORE the per-shingle
+    * aggregation — the corpus-side shuffle carries only shingles that can
+    * possibly contaminate, instead of the full corpus shingle space. With
+    * `broadcastTestKeys` (default) the prune is a broadcast semi-join
+    * inside the corpus scan: zero extra shuffle of train data. Results are
+    * identical to the unpruned plan: for every surviving shingle the
+    * train-side document set (and therefore the df cap) is computed over
+    * the FULL train side.
     *
     * Returns (test_id, train_id, common) pairs.
     */
   def contamination(
       train: DataFrame, trainId: String, trainText: String,
       test: DataFrame, testId: String, testText: String,
-      n: Int = 8, minCommon: Int = 2, maxDocFreq: Int = 1024): DataFrame = {
+      n: Int = 8, minCommon: Int = 2, maxDocFreq: Int = 1024,
+      broadcastTestKeys: Boolean = true): DataFrame = {
     val spark = train.sparkSession
     import spark.implicits._
     def post(df: DataFrame, id: String, text: String, side: String) = df
@@ -57,10 +68,17 @@ object Curation {
       })
       .toDF("s", s"${side}_id")
 
+    val testPost = post(test, testId, testText, "test")
+    testPost.persist() // reused: key prune + final join
+    val testKeys0 = testPost.select(col("s")).distinct()
+    // set broadcastTestKeys=false if the benchmark suite's shingle set is
+    // too large for executor memory (falls back to a shuffled semi-join)
+    val testKeys = if (broadcastTestKeys) broadcast(testKeys0) else testKeys0
+
     val trainPost = post(train, trainId, trainText, "train")
+      .join(testKeys, Seq("s"), "left_semi")
       .groupBy(col("s")).agg(collect_set(col("train_id")).as("train_ids"))
       .where(size(col("train_ids")) <= maxDocFreq)
-    val testPost = post(test, testId, testText, "test")
 
     testPost
       .join(trainPost, "s")

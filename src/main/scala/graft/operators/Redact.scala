@@ -17,9 +17,28 @@ import graft.kernel.TextKernel
   */
 object Redact {
 
+  private def isWordCp(cp: Int): Boolean =
+    Character.isLetterOrDigit(cp) || cp == '_'
+
+  /** Boundary-anchored literal pattern for a validated match: `\b` is added
+    * only on sides whose edge character is a word character (the detector's
+    * own `\b`s sit at word-char edges; a `\b` beside a non-word edge char —
+    * e.g. the `/` closing a URL — would require an ADJACENT word char and
+    * wrongly skip legitimate occurrences).
+    */
+  private def anchored(m: String): java.util.regex.Pattern = {
+    val pre = if (m.nonEmpty && isWordCp(m.codePointAt(0))) "\\b" else ""
+    val suf = if (m.nonEmpty && isWordCp(m.codePointBefore(m.length))) "\\b" else ""
+    java.util.regex.Pattern.compile(
+      pre + java.util.regex.Pattern.quote(m) + suf,
+      java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+  }
+
   /** Pure kernel form: (redacted text, counts per type). Detection runs on
     * the text as-is (canonical formatting applied first, like the
-    * reference's in-place reformat).
+    * reference's in-place reformat). Replacement is boundary-anchored so a
+    * validated match embedded in a longer token (which the kernel's
+    * `\b`-anchored detector never matched) is left intact.
     */
   def redactText(kernel: TextKernel, text: String): (String, Map[String, Int]) = {
     val (formatted, found) = kernel.detectAndFormatPatterns(text)
@@ -28,13 +47,19 @@ object Redact {
     found.foreach { case (ptype, matches) =>
       val tag = s"[${ptype.toUpperCase(java.util.Locale.ROOT)}]"
       matches.foreach { m =>
-        if (out.contains(m)) {
-          // replace ALL occurrences of this validated match
+        if (m.nonEmpty) {
+          val matcher = anchored(m).matcher(out)
           var c = 0
-          var idx = out.indexOf(m)
-          while (idx >= 0) { c += 1; idx = out.indexOf(m, idx + m.length) }
-          out = out.replace(m, tag)
-          counts.update(ptype, counts.getOrElse(ptype, 0) + c)
+          val sb = new java.lang.StringBuilder
+          while (matcher.find()) {
+            c += 1
+            matcher.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(tag))
+          }
+          if (c > 0) {
+            matcher.appendTail(sb)
+            out = sb.toString
+            counts.update(ptype, counts.getOrElse(ptype, 0) + c)
+          }
         }
       }
     }

@@ -38,7 +38,8 @@ object Checkpoint {
       bytes: Long,
       runId: String,
       committedAtEpochMs: Long,
-      lineage: String)
+      lineage: String,
+      configHash: String = "")
 
   private def manifestPath(outDir: String, partId: Int): Path =
     Paths.get(outDir, "manifests", s"part-$partId.json")
@@ -48,10 +49,11 @@ object Checkpoint {
   def writeManifest(outDir: String, m: Manifest): Unit = {
     val dir = Paths.get(outDir, "manifests")
     Files.createDirectories(dir)
+    def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val json =
       s"""{"partId":${m.partId},"rows":${m.rows},"bytes":${m.bytes},""" +
         s""""runId":"${m.runId}","committedAtEpochMs":${m.committedAtEpochMs},""" +
-        s""""lineage":"${m.lineage.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
+        s""""lineage":"${esc(m.lineage)}","configHash":"${esc(m.configHash)}"}"""
     val tmp = dir.resolve(s".part-${m.partId}.json.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(outDir, m.partId),
@@ -72,12 +74,27 @@ object Checkpoint {
         case JString(v) => v; case _ => ""
       }
       Some(Manifest(l("partId").toInt, l("rows"), l("bytes"), str("runId"),
-        l("committedAtEpochMs"), str("lineage")))
+        l("committedAtEpochMs"), str("lineage"), str("configHash")))
     }
   }
 
   def completedBuckets(outDir: String, numBuckets: Int): Seq[Int] =
     (0 until numBuckets).filter(k => Files.exists(manifestPath(outDir, k)))
+
+  /** Buckets whose manifest is VALID for this run: committed, config hash
+    * matches, and (if a TTL is set) not expired — the reference cache's
+    * staleness semantics (cache_manager.py:119-170: key = content hash +
+    * normalized options; :237-244: 30-day expiry). A bucket committed under
+    * a different kernel/config version is treated as absent and recomputed;
+    * its data is replaced by the dynamic partition overwrite.
+    */
+  def validBuckets(
+      outDir: String, numBuckets: Int, configHash: String,
+      ttlMs: Long = Long.MaxValue, nowMs: Long = System.currentTimeMillis()): Seq[Int] =
+    (0 until numBuckets).filter { k =>
+      readManifest(outDir, k).exists(m =>
+        m.configHash == configHash && (nowMs - m.committedAtEpochMs) <= ttlMs)
+    }
 
   private def dirBytes(dir: Path): Long =
     if (!Files.exists(dir)) 0L
@@ -85,12 +102,19 @@ object Checkpoint {
       .filter(Files.isRegularFile(_)).map(Files.size).sum
 
   /** Run the extraction resumably. Returns the manifests committed in THIS
-    * run (already-completed buckets are skipped entirely — their input rows
-    * are never read thanks to the bucket predicate).
+    * run (buckets already committed under the SAME `configHash` and within
+    * `ttlMs` are skipped entirely — their input rows are never read thanks
+    * to the bucket predicate; buckets committed under a different config
+    * hash are treated as stale and recomputed, cache_manager.py:119-170).
     *
     * `groupSize` buckets are processed per Spark job: small enough that a
     * crash loses bounded work, large enough to amortize job overhead. At
     * cluster scale numBuckets ≈ thousands and groupSize ≈ executors*4.
+    *
+    * Per-bucket row counts come from an `Observation` on the SAME job that
+    * writes the data (one aggregate per bucket in the group) — no
+    * post-write count() jobs, which at cluster scale (thousands of
+    * buckets) would be thousands of sequential driver-launched jobs.
     */
   def run(
       turns: Dataset[Turn],
@@ -99,9 +123,11 @@ object Checkpoint {
       runId: String,
       lineage: String = "",
       groupSize: Int = 8,
-      saltBuckets: Int = 0): Seq[Manifest] = {
+      saltBuckets: Int = 0,
+      configHash: String = "",
+      ttlMs: Long = Long.MaxValue): Seq[Manifest] = {
     val spark = turns.sparkSession
-    val done = completedBuckets(outDir, numBuckets).toSet
+    val done = validBuckets(outDir, numBuckets, configHash, ttlMs).toSet
     val todo = (0 until numBuckets).filterNot(done)
     val committed = scala.collection.mutable.ListBuffer.empty[Manifest]
 
@@ -126,23 +152,31 @@ object Checkpoint {
           ExtractedWithBucket(e, tb.part_id)
         }
       }
-      // flatten: one parquet dir per bucket via dynamic partition write
+      // flatten: one parquet dir per bucket via dynamic partition write,
+      // observing per-bucket row counts during the write itself
+      val obs = org.apache.spark.sql.Observation(s"ckpt-$runId-${group.head}")
       val flat = extracted
         .select(col("e.*"), col("part_id"))
-      flat.write
+      val rowCountAggs = group.map(k =>
+        coalesce(sum(when(col("part_id") === k, 1L).otherwise(0L)), lit(0L))
+          .as(s"rows_$k"))
+      flat.observe(obs, rowCountAggs.head, rowCountAggs.tail: _*)
+        .write
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("part_id")
         .parquet(dataDir(outDir))
+      val rowCounts = obs.get // blocks until the write (the action) finishes
       // data for the whole group is durable; now commit each bucket
       group.foreach { k =>
         val dir = Paths.get(dataDir(outDir), s"part_id=$k")
-        val rows =
-          if (Files.exists(dir))
-            spark.read.parquet(dir.toString).count() // parquet metadata count
-          else 0L
+        val rows = rowCounts.get(s"rows_$k") match {
+          case Some(n: Long) => n
+          case Some(n: Number) => n.longValue()
+          case _ => 0L
+        }
         val m = Manifest(k, rows, dirBytes(dir), runId,
-          System.currentTimeMillis(), lineage)
+          System.currentTimeMillis(), lineage, configHash)
         writeManifest(outDir, m)
         committed += m
       }

@@ -18,9 +18,13 @@ import graft.schema.ExtractedTurn
   */
 object Render {
 
-  private def xmlEscape(c: Column): Column =
-    replace(replace(replace(c, lit("&"), lit("&amp;")),
-      lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+  /** escapes &, <, > and " — values are interpolated into double-quoted
+    * attributes as well as element text, so the quote must be escaped too
+    */
+  private[pipeline] def xmlEscape(c: Column): Column =
+    replace(replace(replace(replace(c, lit("&"), lit("&amp;")),
+      lit("<"), lit("&lt;")), lit(">"), lit("&gt;")),
+      lit("\""), lit("&quot;"))
 
   /** One markdown document per conversation:
     *
@@ -56,7 +60,7 @@ object Render {
     val turnXml =
       concat(
         format_string("<turn idx=\"%d\" role=\"%s\" doc_type=\"%s\">",
-          col("turn_idx"), xmlEscape(col("role")), col("doc_type")),
+          col("turn_idx"), xmlEscape(col("role")), xmlEscape(col("doc_type"))),
         array_join(
           transform(col("spans"), s =>
             format_string("<span name=\"%s\" start=\"%d\" end=\"%d\" confidence=\"%.2f\">%s</span>",

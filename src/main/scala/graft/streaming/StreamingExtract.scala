@@ -34,16 +34,28 @@ object StreamingExtract {
   }
 
   /** Drain everything currently in `inDir` through the extraction pipeline
-    * into `outDir`, exactly-once via the stream checkpoint; returns after
-    * the backlog is processed (the reference's "process the folder now"
-    * batch trigger).
+    * into `outDir`; returns after the backlog is processed (the reference's
+    * "process the folder now" batch trigger).
+    *
+    * Delivery: `foreachBatch` is at-least-once (a crash between the batch
+    * write and the checkpoint commit replays the batch on restart), so the
+    * write is made IDEMPOTENT — output is partitioned by `batch_id` with
+    * dynamic partition overwrite, and a replayed batch overwrites its own
+    * partition instead of appending duplicates. At-least-once replay +
+    * idempotent per-batch overwrite = effectively-once output.
     */
   def runAvailableNow(
       spark: SparkSession, inDir: String, outDir: String, checkpointDir: String): Unit = {
     val q = readTurns(spark, inDir)
       .writeStream
-      .foreachBatch { (batch: Dataset[Turn], _: Long) =>
-        ExtractionJob.extract(batch).write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: Dataset[Turn], batchId: Long) =>
+        ExtractionJob.extract(batch)
+          .withColumn("batch_id", lit(batchId))
+          .write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
         ()
       }
       .option("checkpointLocation", checkpointDir)

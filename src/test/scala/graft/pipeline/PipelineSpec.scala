@@ -185,6 +185,52 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(manifestRows == fullCount)
   }
 
+  test("checkpoint invalidation: changed config hash recomputes, unchanged skips, TTL expires") {
+    val outDir = Files.createTempDirectory("graft-ckpt-inv").toString
+    val ds = TranscriptGen.dataset(spark, 20)
+    val numBuckets = 4
+
+    val run1 = Checkpoint.run(ds, outDir, numBuckets, runId = "r1",
+      groupSize = 4, configHash = "kernel-v1")
+    assert(run1.map(_.partId).sorted == (0 until numBuckets))
+
+    // unchanged config: zero recompute
+    val run2 = Checkpoint.run(ds, outDir, numBuckets, runId = "r2",
+      groupSize = 4, configHash = "kernel-v1")
+    assert(run2.isEmpty)
+    (0 until numBuckets).foreach(k =>
+      assert(Checkpoint.readManifest(outDir, k).get.runId == "r1"))
+
+    // changed config (kernel/config version bump): every bucket is stale
+    val run3 = Checkpoint.run(ds, outDir, numBuckets, runId = "r3",
+      groupSize = 4, configHash = "kernel-v2")
+    assert(run3.map(_.partId).sorted == (0 until numBuckets))
+    (0 until numBuckets).foreach { k =>
+      val m = Checkpoint.readManifest(outDir, k).get
+      assert(m.runId == "r3" && m.configHash == "kernel-v2")
+    }
+
+    // data still complete and correct after the invalidation-driven rewrite
+    assert(Checkpoint.readResult(spark, outDir, numBuckets).count() ==
+      TranscriptGen.totalTurns(20))
+
+    // manifest row counts (from the write-time Observation) add up exactly
+    val manifestRows = (0 until numBuckets)
+      .flatMap(Checkpoint.readManifest(outDir, _)).map(_.rows).sum
+    assert(manifestRows == TranscriptGen.totalTurns(20))
+
+    // TTL: an expired manifest is stale even with a matching config hash
+    val now = System.currentTimeMillis()
+    assert(Checkpoint.validBuckets(outDir, numBuckets, "kernel-v2",
+      ttlMs = Long.MaxValue, nowMs = now).size == numBuckets)
+    assert(Checkpoint.validBuckets(outDir, numBuckets, "kernel-v2",
+      ttlMs = 0L, nowMs = now + 10000).isEmpty)
+    Thread.sleep(10)
+    val run4 = Checkpoint.run(ds, outDir, numBuckets, runId = "r4",
+      groupSize = 4, configHash = "kernel-v2", ttlMs = 1L)
+    assert(run4.map(_.partId).sorted == (0 until numBuckets))
+  }
+
   test("partition-count invariance: same output at 2 and 16 input partitions") {
     val a = ExtractionJob.extract(TranscriptGen.dataset(spark, 15, partitions = 2)).collect()
     val b = ExtractionJob.extract(TranscriptGen.dataset(spark, 15, partitions = 16)).collect()
