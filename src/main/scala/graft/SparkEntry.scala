@@ -292,6 +292,46 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
 
+    // ---- rule ACTIONS (P6): priority-ordered context mutation ladder ----
+    "q23_rule_actions" -> ((s, dir) => {
+      import graft.operators.Rules
+      import graft.operators.Rules.{ActionRule, Op, SetConfidence, SetLanguage, SetMode, StopProcessing}
+      val rules = Seq(
+        ActionRule("cloud_boost", 30,
+          Seq(Rules.Condition("n_chars", Op.GreaterThan, 2000)),
+          Seq(SetMode("cloud"), SetConfidence(0.9), StopProcessing)),
+        ActionRule("german_docs", 20,
+          Seq(Rules.Condition("lang", Op.Equals, "de")),
+          Seq(SetLanguage("deu"), SetMode("local"))),
+        ActionRule("fast_small", 10,
+          Seq(Rules.Condition("n_chars", Op.LessThan, 100)),
+          Seq(SetMode("fast"), StopProcessing)))
+      Rules.applyActions(t(s, dir, "documents"), rules)
+        .groupBy(col("ocr_mode"), col("ocr_language"),
+          col("confidence_threshold"),
+          col("stop_processing").cast("int").as("stopped"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("ocr_mode"), col("ocr_language"),
+          col("confidence_threshold"), col("stopped"))
+    }),
+
+    // ---- quality-routed fallback as an EXECUTED two-pass stage ----
+    "q24_fallback_route" -> ((s, dir) => {
+      import graft.operators.Fallback
+      // first engine: raw text; second: a deterministic "cloud" stand-in
+      // with the reference's claimed confidence uplift (capped 1.3x,
+      // image_processor.py:513-517) — quality = content score both times
+      val local = Fallback.Engine("local", identity, Fallback.contentScore)
+      val cloud = Fallback.Engine("cloud", identity,
+        t => least(lit(1.0), Fallback.contentScore(t) * lit(1.3)))
+      Fallback.twoPass(t(s, dir, "documents"), "text", local, cloud, 0.7)
+        .groupBy(col("route"), col("engine"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("quality")), 4).as("min_q"),
+          round(max(col("quality")), 4).as("max_q"))
+        .orderBy(col("route"), col("engine"))
+    }),
+
     // ================= rows-only checks (not SQL-expressible) ============
     // extraction pipeline per-turn output (verified vs reference goldens in
     // sbt test; DuckDB cannot replicate the CPython-semantics kernel)
@@ -589,6 +629,52 @@ object SparkEntry {
          |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
          |  count(*) AS n
          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q23_rule_actions" ->
+      """WITH ctx AS (
+        |  SELECT lang, n_chars, 'hybrid' AS ocr_mode, 'eng' AS ocr_language,
+        |         CAST(0.75 AS DOUBLE) AS confidence_threshold, false AS stop_processing
+        |  FROM documents),
+        |m1 AS (SELECT *, (NOT stop_processing AND n_chars IS NOT NULL AND n_chars > 2000) AS m FROM ctx),
+        |s1 AS (SELECT lang, n_chars,
+        |         CASE WHEN m THEN 'cloud' ELSE ocr_mode END AS ocr_mode,
+        |         ocr_language,
+        |         CASE WHEN m THEN CAST(0.9 AS DOUBLE) ELSE confidence_threshold END AS confidence_threshold,
+        |         (stop_processing OR m) AS stop_processing FROM m1),
+        |m2 AS (SELECT *, (NOT stop_processing AND lang IS NOT NULL AND lang = 'de') AS m FROM s1),
+        |s2 AS (SELECT lang, n_chars,
+        |         CASE WHEN m THEN 'local' ELSE ocr_mode END AS ocr_mode,
+        |         CASE WHEN m THEN 'deu' ELSE ocr_language END AS ocr_language,
+        |         confidence_threshold, stop_processing FROM m2),
+        |m3 AS (SELECT *, (NOT stop_processing AND n_chars IS NOT NULL AND n_chars < 100) AS m FROM s2),
+        |s3 AS (SELECT
+        |         CASE WHEN m THEN 'fast' ELSE ocr_mode END AS ocr_mode,
+        |         ocr_language, confidence_threshold,
+        |         (stop_processing OR m) AS stop_processing FROM m3)
+        |SELECT ocr_mode, ocr_language, confidence_threshold,
+        |       CAST(stop_processing AS INT) AS stopped, count(*) AS n
+        |FROM s3 GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
+
+    "q24_fallback_route" -> {
+      val cs = graft.operators.Fallback.contentScoreSql("text")
+      s"""WITH p1 AS (
+         |  SELECT text, coalesce($cs, 0.0) AS q1 FROM documents),
+         |kept AS (
+         |  SELECT 'kept' AS route, 'local' AS engine, q1 AS quality
+         |  FROM p1 WHERE q1 >= 0.7),
+         |fb AS (
+         |  SELECT q1, coalesce(least(1.0, $cs * 1.3), 0.0) AS q2
+         |  FROM p1 WHERE q1 < 0.7),
+         |fbres AS (
+         |  SELECT 'fallback' AS route,
+         |    CASE WHEN q2 >= 0.7 OR q2 > q1 THEN 'cloud' ELSE 'local' END AS engine,
+         |    CASE WHEN q2 >= 0.7 OR q2 > q1 THEN q2 ELSE q1 END AS quality
+         |  FROM fb),
+         |u AS (SELECT * FROM kept UNION ALL SELECT * FROM fbres)
+         |SELECT route, engine, count(*) AS n,
+         |  round(min(quality), 4) AS min_q, round(max(quality), 4) AS max_q
+         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
 
     "q16_ann_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

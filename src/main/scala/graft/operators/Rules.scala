@@ -90,4 +90,139 @@ object Rules {
   /** Tag a DataFrame with the winning rule per row. */
   def applyRules(df: DataFrame, rules: Seq[Rule], outCol: String = "rule"): DataFrame =
     df.withColumn(outCol, firstMatch(rules))
+
+  // ------------------------- rule ACTIONS (P6) -------------------------
+  // rules.py:180-246 RuleAction.execute + :249-301 ProcessingRule.execute +
+  // :587-610 RuleEngine.apply_rules: rules run in priority-desc order over
+  // an EVOLVING context (later rules see earlier rules' mutations); a rule
+  // fires when ALL its conditions hold; its actions run in list order;
+  // stop_processing short-circuits every later rule for that row.
+
+  sealed trait Action
+  /** rules.py:190-196 — dot-path context mutation. */
+  final case class SetValue(fieldPath: String, value: Any) extends Action
+  /** rules.py:198-201 — context["confidence_threshold"] = c. */
+  final case class SetConfidence(confidence: Double = 0.75) extends Action
+  /** rules.py:203-206 — context["ocr_language"] = l. */
+  final case class SetLanguage(language: String = "eng") extends Action
+  /** rules.py:208-211 — context["ocr_mode"] = m. */
+  final case class SetMode(mode: String = "hybrid") extends Action
+  /** rules.py:219-221 — context["stop_processing"] = True. */
+  case object StopProcessing extends Action
+
+  /** A rule with actions (ProcessingRule, rules.py:249-262). */
+  final case class ActionRule(
+      name: String, priority: Int,
+      conditions: Seq[Condition], actions: Seq[Action])
+
+  /** The reference's default processing context (config.py defaults). */
+  val defaultContext: Seq[(String, Column)] = Seq(
+    "ocr_mode" -> lit("hybrid"),
+    "ocr_language" -> lit("eng"),
+    "confidence_threshold" -> lit(0.75),
+    "stop_processing" -> lit(false))
+
+  /** Seed the context columns a rule set mutates (only those absent). */
+  def withContext(df: DataFrame, ctx: Seq[(String, Column)] = defaultContext): DataFrame =
+    ctx.foldLeft(df) { case (d, (name, v)) =>
+      if (d.columns.contains(name)) d else d.withColumn(name, v)
+    }
+
+  /** Set a (possibly dot-nested) field to `v` where `m` holds, preserving
+    * the row's value elsewhere — the columnar form of `_set_nested_value`
+    * (rules.py:233-244: intermediate levels are created when missing).
+    */
+  private def setPath(df: DataFrame, path: String, m: Column, v: Column): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val parts = path.split('.').toList
+
+    /** struct literal for the remaining path, leaf = v (created levels) */
+    def chain(rest: List[String]): Column = rest match {
+      case Nil       => v
+      case k :: more => struct(chain(more).as(k))
+    }
+
+    /** update inside an existing struct column */
+    def upd(c: Column, st: StructType, rest: List[String]): Column = rest match {
+      case last :: Nil =>
+        val existing =
+          if (st.fieldNames.contains(last)) c.getField(last) else lit(null)
+        c.withField(last, when(m, v).otherwise(existing))
+      case k :: more =>
+        st.find(_.name == k).map(_.dataType) match {
+          case Some(child: StructType) => c.withField(k, upd(c.getField(k), child, more))
+          case _ => c.withField(k, when(m, chain(more))) // created level; null where unmatched
+        }
+      case Nil => c
+    }
+
+    parts match {
+      case head :: Nil if df.columns.contains(head) =>
+        df.withColumn(head, when(m, v).otherwise(col(head)))
+      case head :: Nil =>
+        df.withColumn(head, when(m, v)) // new column; null where unmatched
+      case head :: rest if df.columns.contains(head) =>
+        df.schema(head).dataType match {
+          case st: StructType =>
+            // a NULL struct would swallow withField (null.withField = null):
+            // coalesce to a typed all-null struct first — "absent key" maps
+            // to a null FIELD inside an always-present struct (the fixed-
+            // schema columnar analog of the reference's dict context)
+            val nullStruct = struct(
+              st.fields.toSeq.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+            df.withColumn(head, upd(coalesce(col(head), nullStruct), st, rest))
+          case _ => // non-struct head is replaced by the created chain (dict overwrite)
+            df.withColumn(head, when(m, chain(rest)))
+        }
+      case head :: rest =>
+        df.withColumn(head, when(m, chain(rest)))
+      case Nil => df
+    }
+  }
+
+  /** Execute a rule set over the DataFrame: for each rule in priority-desc
+    * order (ties broken by name, matching `applyRules`), rows where all
+    * conditions hold — evaluated against the CURRENT, already-mutated
+    * context — get the rule's actions applied in list order. A row whose
+    * `stop_processing` was set by an earlier rule executes no further
+    * rules. Everything compiles to when-ladders over columns: whole-stage
+    * codegen, no UDFs, one narrow projection.
+    *
+    * `appliedCol` (optional) accumulates the names of the rules that fired
+    * per row, in execution order.
+    */
+  def applyActions(
+      df0: DataFrame, rules: Seq[ActionRule],
+      appliedCol: Option[String] = None): DataFrame = {
+    val matchedTmp = "__rule_matched"
+    val seeded = {
+      val d = withContext(df0)
+      appliedCol match {
+        case Some(c) if !d.columns.contains(c) =>
+          d.withColumn(c, array().cast("array<string>"))
+        case _ => d
+      }
+    }
+    val applied = rules.sortBy(r => (-r.priority, r.name)).foldLeft(seeded) { (d, r) =>
+      // pin the evaluation: conditions are checked ONCE per rule, before
+      // any of the rule's own actions mutate the columns they read
+      val cond = r.conditions.map(compile).reduceOption(_ && _).getOrElse(lit(true))
+      val d1 = d.withColumn(matchedTmp, !col("stop_processing") && cond)
+      val m = col(matchedTmp)
+      val d2 = r.actions.foldLeft(d1) { (dd, a) =>
+        a match {
+          case SetValue(p, value)   => setPath(dd, p, m, litOf(value))
+          case SetConfidence(c)     => setPath(dd, "confidence_threshold", m, lit(c))
+          case SetLanguage(l)       => setPath(dd, "ocr_language", m, lit(l))
+          case SetMode(mode)        => setPath(dd, "ocr_mode", m, lit(mode))
+          case StopProcessing       =>
+            dd.withColumn("stop_processing", col("stop_processing") || m)
+        }
+      }
+      val d3 = appliedCol.fold(d2)(c => d2.withColumn(c,
+        when(m, array_append(col(c), lit(r.name))).otherwise(col(c))))
+      d3.drop(matchedTmp)
+    }
+    applied
+  }
 }

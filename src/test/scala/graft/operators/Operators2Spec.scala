@@ -115,6 +115,89 @@ class Operators2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n(Condition("s", Op.NotEquals, "Hello World")) == 1)
   }
 
+  test("rule actions: dot-path set_value, evolving context, stop_processing short-circuit") {
+    val sp = spark; import sp.implicits._
+    import Rules._
+    import org.apache.spark.sql.Row
+    val df = Seq(
+      (1L, "invoice", 500),   // stop-rule fires; later matching rules must be skipped
+      (2L, "note", 50),       // chain: small_docs -> rename_notes -> sees_mutation
+      (3L, "report", 5000))   // matches nothing
+      .toDF("id", "kind", "size")
+    val rules = Seq(
+      ActionRule("flag_invoices", 30, Seq(Condition("kind", Op.Equals, "invoice")),
+        Seq(SetValue("meta.flagged", true), SetMode("cloud"), StopProcessing)),
+      ActionRule("small_docs", 20, Seq(Condition("size", Op.LessThan, 1000)),
+        Seq(SetMode("local"), SetValue("meta.small", true))),
+      ActionRule("rename_notes", 10, Seq(Condition("kind", Op.Equals, "note")),
+        Seq(SetValue("kind", "memo"))),
+      // evaluates against the context AFTER rename_notes mutated `kind`
+      ActionRule("sees_mutation", 5, Seq(Condition("kind", Op.Equals, "memo")),
+        Seq(SetValue("renamed", 1))))
+    val out = applyActions(df, rules, appliedCol = Some("applied"))
+      .orderBy("id").collect()
+
+    def meta(r: Row): Row = r.getAs[Row]("meta")
+    def applied(r: Row): Seq[String] = r.getAs[scala.collection.Seq[String]]("applied").toSeq
+
+    val r1 = out(0) // invoice, size 500
+    assert(r1.getAs[String]("ocr_mode") == "cloud")
+    assert(r1.getAs[Boolean]("stop_processing"))
+    assert(meta(r1).getAs[Boolean]("flagged"))
+    // small_docs WOULD match (500 < 1000) but stop_processing blocks it
+    assert(meta(r1).isNullAt(meta(r1).fieldIndex("small")))
+    assert(applied(r1) == Seq("flag_invoices"))
+
+    val r2 = out(1) // note, size 50
+    assert(r2.getAs[String]("ocr_mode") == "local")
+    assert(!r2.getAs[Boolean]("stop_processing"))
+    assert(meta(r2).getAs[Boolean]("small"))
+    assert(r2.getAs[String]("kind") == "memo") // mutated by rename_notes
+    assert(r2.getAs[Int]("renamed") == 1) // sees_mutation saw the mutation
+    assert(applied(r2) == Seq("small_docs", "rename_notes", "sees_mutation"))
+
+    val r3 = out(2) // report: untouched context defaults
+    assert(r3.getAs[String]("ocr_mode") == "hybrid")
+    assert(r3.getAs[String]("ocr_language") == "eng")
+    assert(r3.getAs[Double]("confidence_threshold") == 0.75)
+    assert(!r3.getAs[Boolean]("stop_processing"))
+    assert(r3.isNullAt(r3.fieldIndex("renamed")))
+    assert(applied(r3).isEmpty)
+  }
+
+  // ---------- quality-routed fallback ----------
+
+  test("fallback: threshold enforcement routes low-quality rows to the second engine") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.Column
+    // mirror of test_workflow.py:183-213: a low-quality engine below the
+    // threshold must trigger the second engine; the winner is whichever
+    // clears the threshold or scores higher
+    val df = Seq(
+      (1L, "good", 0.9, 0.1),  // first engine accepted; second never consulted
+      (2L, "low", 0.5, 0.95),  // fallback; second clears threshold -> wins
+      (3L, "bad", 0.3, 0.5),   // fallback; second below threshold but HIGHER -> wins
+      (4L, "worse", 0.6, 0.2)) // fallback; second strictly worse -> first kept
+      .toDF("id", "text", "qa", "qb")
+    // engine quality driven by the row's planted scores (transform carries
+    // the text; quality reads the planted column through a join-free trick:
+    // encode the score in the produced text)
+    val e1 = Fallback.Engine("low_quality",
+      t => concat(t, lit("|"), col("qa").cast("string")),
+      t => element_at(split(t, "\\|"), -1).cast("double"))
+    val e2 = Fallback.Engine("high_quality",
+      t => concat(t, lit("|"), col("qb").cast("string")),
+      t => element_at(split(t, "\\|"), -1).cast("double"))
+    val out = Fallback.twoPass(df, "text", e1, e2, qualityThreshold = 0.8)
+      .select("id", "route", "engine", "quality")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == (("kept", "low_quality", 0.9)))
+    assert(out(2L) == (("fallback", "high_quality", 0.95)))
+    assert(out(3L) == (("fallback", "high_quality", 0.5))) // 0.5 > 0.3: better-so-far wins
+    assert(out(4L) == (("fallback", "low_quality", 0.6)))
+  }
+
   // ---------- search ----------
 
   test("search: occurrence score and excerpt match reference semantics") {
