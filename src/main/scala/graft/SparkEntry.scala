@@ -395,11 +395,18 @@ object SparkEntry {
         .select(col("embedding")).first().getSeq[Float](0).toArray
       Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10, nList = 16, nProbe = 8)
     }),
-    // chunking w/ overlap (F14) — reference word-packing semantics
+    // chunking w/ overlap (F14) — reference word-packing semantics;
+    // mapPartitions (the codebase's pooled-kernel pattern), not a row UDF
     "x09_chunks" -> ((s, dir) => {
-      val chunk = udf((text: String) => graft.kernel.Chunker.semantic(text))
+      import s.implicits._
       t(s, dir, "documents")
-        .select(col("doc_id"), posexplode(chunk(col("text"))).as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          graft.kernel.Chunker.semantic(Option(text).getOrElse(""))
+            .iterator.zipWithIndex.map { case (c, i) => (id, i, c) }
+        })
+        .toDF("doc_id", "chunk_idx", "chunk")
         .select(col("doc_id"), col("chunk_idx"), length(col("chunk")).as("n_chars"),
           md5(col("chunk")).as("chunk_md5"))
     }),

@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions.udaf
   * sketches (map-side combine does the heavy lifting) — frequency mining
   * over 10^12 tokens without a groupBy over the full key space.
   */
-object HeavyHitters {
+object HeavyHitters extends Serializable {
 
   /** counter: item → (count, error). Buffer kept as parallel sequences for
     * a stable Encoder.
@@ -108,8 +108,12 @@ object HeavyHitters {
     udaf(new SpaceSaving(capacity)).apply(column)
 
   /** Efficient path: one mutable sketch per partition (narrow pass), then a
-    * merge of ≤numPartitions tiny sketches — the shape that scales to 10^12
-    * rows. Returns (item, count, error) count-descending.
+    * LOGARITHMIC merge of the ≤numPartitions tiny sketches via
+    * `treeAggregate` — the shape that scales to 10^12 rows: at 10^5 tasks
+    * a driver-side linear merge would serialize 10^5 sketch unions through
+    * one thread; the tree form merges them on executors in O(log n) rounds
+    * (the mergeable-summaries bound holds for arbitrary merge trees).
+    * Returns (item, count, error) count-descending.
     */
   def heavyHitters(df: DataFrame, column: Column, capacity: Int): DataFrame = {
     val spark = df.sparkSession
@@ -120,14 +124,15 @@ object HeavyHitters {
         it.foreach(s => if (s != null) b.add(s))
         Iterator.single(b.toSketch)
       }
-    val rows = partials.collect() match {
-      case Array() => Seq.empty[HeavyHitter]
-      case parts =>
-        val acc = fromSketch(parts.head, capacity)
-        parts.tail.foreach(p => acc.mergeIn(fromSketch(p, capacity)))
-        val s = acc.toSketch
-        s.items.indices.map(i => HeavyHitter(s.items(i), s.counts(i), s.errors(i)))
+    val cap = capacity
+    val mergeS: (Sketch, Sketch) => Sketch = (a, b) => {
+      val ba = fromSketch(a, cap)
+      ba.mergeIn(fromSketch(b, cap))
+      ba.toSketch
     }
+    val s = partials.rdd.treeAggregate(
+      Sketch(Seq.empty, Seq.empty, Seq.empty))(mergeS, mergeS)
+    val rows = s.items.indices.map(i => HeavyHitter(s.items(i), s.counts(i), s.errors(i)))
     spark.createDataset(rows).toDF()
       .orderBy(org.apache.spark.sql.functions.col("count").desc,
         org.apache.spark.sql.functions.col("item"))

@@ -185,11 +185,20 @@ object ExtractionJob {
 
   /** Doc-level classification over the assembled text (the reference
     * classifies whole documents: xml_output_generator.py:66-119).
+    * mapPartitions over Rows (schema-generic) instead of a per-row UDF —
+    * the classifier's compiled patterns are JVM-static, the iterator form
+    * keeps the field-index lookup out of the per-row path.
     */
   def classifyConversations(assembled: DataFrame): DataFrame = {
-    val spark = assembled.sparkSession
-    import spark.implicits._
-    val classify = udf((s: String) => DocType.classify(s))
-    assembled.withColumn("doc_type", classify(col("full_text")))
+    val outSchema = assembled.schema
+      .add("doc_type", org.apache.spark.sql.types.StringType)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val textIdx = assembled.schema.fieldIndex("full_text")
+    assembled.mapPartitions { it =>
+      it.map { r =>
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq :+ DocType.classify(r.getString(textIdx)))
+      }
+    }(enc)
   }
 }

@@ -44,11 +44,15 @@ object SearchIndex {
       md5(col("text_clean")).as("turn_hash"),
       col("doc_type"), col("patterns_detected"))
 
-    val chunkUdf = udf((text: String) => graft.kernel.Chunker.index(text, chunkMaxLen))
-    val chunks = ok.toDF()
-      .select(col("conv_id"), col("turn_idx"),
-        posexplode(chunkUdf(col("text_clean"))).as(Seq("chunk_idx", "chunk_text")))
-      .withColumn("chunk_hash", md5(col("chunk_text")))
+    val chunks = {
+      val sp = ok.sparkSession
+      import sp.implicits._
+      ok.mapPartitions(_.flatMap { e =>
+        graft.kernel.Chunker.index(e.text_clean, chunkMaxLen)
+          .iterator.zipWithIndex.map { case (c, i) => (e.conv_id, e.turn_idx, i, c) }
+      }).toDF("conv_id", "turn_idx", "chunk_idx", "chunk_text")
+        .withColumn("chunk_hash", md5(col("chunk_text")))
+    }
 
     IndexTables(conversations, turns, chunks, ok.toDF())
   }

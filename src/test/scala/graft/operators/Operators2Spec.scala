@@ -78,6 +78,27 @@ class Operators2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5, s"IVF recall@10 too low: $recall")
   }
 
+  test("IVF k-means centroids: recall@10 >= 0.9 vs brute force on the embeddings table") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = df.where(col("vec_id") === 0)
+      .select(col("embedding")).first().getSeq[Float](0).toArray
+    val exact = Similarity.cosineTopK(df, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val approx = Similarity
+      .ivfTopK(df, "vec_id", "embedding", q, 10, nList = 16, nProbe = 8, trainIters = 2)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"trained-IVF recall@10 below gate: $recall")
+
+    // training is deterministic: repeated runs -> identical centroids
+    // (bitwise layout-invariance is NOT claimed: double partial sums
+    // associate differently under different partitionings)
+    val c1 = Similarity.trainIvfCentroids(df, "vec_id", "embedding", 8, iters = 2)
+    val c2 = Similarity.trainIvfCentroids(df, "vec_id", "embedding", 8, iters = 2)
+    assert(c1.map(_._2.toSeq).toSeq == c2.map(_._2.toSeq).toSeq,
+      "k-means training must be deterministic across runs")
+  }
+
   // ---------- rules ----------
 
   test("rule engine: operators + priority ladder") {
