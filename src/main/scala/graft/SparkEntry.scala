@@ -418,13 +418,19 @@ object SparkEntry {
         .select(col("conv_id"), length(col("markdown")).as("n_chars"),
           md5(col("markdown")).as("md"))
     }),
-    // XML span render sink (S8)
+    // XML sink (S8): template-DISPATCHED structured documents (doc-type
+    // scoring -> per-type sections/fields/creditor tables), plus the
+    // per-turn span render folded into the same check
     "x11_render_xml" -> ((s, dir) => {
       val scale = if (dir.contains("0.1")) 200 else 60
-      graft.pipeline.Render.xml(
-        ExtractionJob.extract(TranscriptGen.dataset(s, scale)))
-        .select(col("conv_id"), length(col("xml")).as("n_chars"),
-          md5(col("xml")).as("md"))
+      val extracted = ExtractionJob.extract(TranscriptGen.dataset(s, scale))
+      val dispatched = graft.pipeline.Render.xmlDocuments(extracted)
+        .select(col("conv_id"), col("doc_type"),
+          length(col("xml")).as("n_chars"), md5(col("xml")).as("md"))
+      val spans = graft.pipeline.Render.xml(extracted)
+        .select(col("conv_id"), lit("turn_spans").as("doc_type"),
+          length(col("xml")).as("n_chars"), md5(col("xml")).as("md"))
+      dispatched.unionByName(spans)
     }),
     // search-index derived tables (S10): conversations -> turns -> chunks
     "x13_search_index" -> ((s, dir) => {
@@ -463,6 +469,14 @@ object SparkEntry {
         .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
         .where(col("tok") =!= "")
       graft.operators.HeavyHitters.heavyHitters(toks, col("tok"), 100)
+    }),
+    // chunk-level semantic search: chunks -> embed -> cosine rank (the
+    // reference's semantic_search.py chunk-embedding path, end-to-end)
+    "x17_semantic_chunks" -> ((s, dir) => {
+      graft.operators.SemanticSearch.searchChunks(
+        t(s, dir, "documents"), "doc_id", "text", "data processing pipeline", 20)
+        .select(col("doc_id"), col("chunk_idx"),
+          round(col("score"), 4).as("score"), md5(col("chunk")).as("chunk_md5"))
     }),
     // multimodal feature extraction: batched pooled decode (stubbed codec)
     "x12_multimodal_features" -> ((s, dir) => {

@@ -104,4 +104,68 @@ object Sections {
       out += CreditorRow(m.group(1), Py.strip(m.group(2)), m.group(3), m.group(4))
     out.toSeq
   }
+
+  // ---- header/field extractors used by the XML templates ----
+  // (xml_output_generator.py:128-141 manifestação header, :165-186
+  // relatório header, :217-226 situação, :403-439 descrição/irresignações)
+
+  final case class Processo(numero: String, vara: String, comarca: String)
+  final case class Administrador(nome: String, oab: String)
+  final case class Irresignacao(
+      id: String, nome: String, valor: String, classificacao: String)
+
+  private val processoP =
+    Py.compileI("""processo.*?n[uú]mero.*?(\d{7}-\d{2}\.\d{4}\.\d\.\d{2}\.\d{4})""")
+  private val varaP = Py.compileI("""(\d+[ªº]?\s*vara.*?)""")
+  private val comarcaP = Py.compileI("""comarca.*?([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*)""")
+  private val adminP = Py.compileI("""administrador.*?([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*)""")
+  private val oabP = Py.compileI("""oab.*?(\w+/\w+\s*\d+\.?\d*)""")
+  private val passivoP = Py.compileI("""passivo.*?(\d+\.?\d*\.?\d*,\d{2})""")
+  private val ativoP = Py.compileI("""ativo.*?(não\s+arrecadado|arrecadado)""")
+
+  private def first(p: Pattern, t: String): Option[String] = {
+    if (t == null) return None
+    val m = p.matcher(t)
+    if (m.find()) Some(m.group(1)) else None
+  }
+
+  /** Header fields; "N/A" when a pattern misses (the reference's default). */
+  def processo(texto: String): Processo =
+    Processo(
+      first(processoP, texto).getOrElse("N/A"),
+      first(varaP, texto).getOrElse("N/A"),
+      first(comarcaP, texto).getOrElse("N/A"))
+
+  def administrador(texto: String): Administrador =
+    Administrador(
+      first(adminP, texto).getOrElse("N/A"),
+      first(oabP, texto).getOrElse("N/A"))
+
+  def passivo(texto: String): Option[String] = first(passivoP, texto)
+  def ativoStatus(texto: String): Option[String] = first(ativoP, texto)
+
+  // xml_output_generator.py:403-418 — first matching situação pattern wins
+  private val descricaoPs: Seq[Pattern] = Seq(
+    """situação.*?atual[:\s]+(.*?)(?=\n\n|\n[A-Z])""",
+    """empresas.*?em.*?(.*?)(?=\n\n|\n[A-Z])""",
+    """estado.*?atual[:\s]+(.*?)(?=\n\n|\n[A-Z])""")
+    .map(r => Pattern.compile(r, Py.IFLAGS | Pattern.DOTALL))
+
+  def descricaoSituacao(texto: String): String =
+    descricaoPs.iterator.flatMap(first(_, texto)).map(Py.strip)
+      .nextOption().getOrElse("Situação não especificada")
+
+  // xml_output_generator.py:420-439
+  private val irresignacaoP = Pattern.compile(
+    """irresignação.*?(\d+).*?credor.*?corrigido.*?([A-Z][^,]*?).*?valor.*?(\d+\.?\d*,\d{2}).*?classificação.*?([A-Z]+)""",
+    Py.IFLAGS | Pattern.DOTALL)
+
+  def irresignacoes(texto: String): Seq[Irresignacao] = {
+    if (texto == null) return Seq.empty
+    val m = irresignacaoP.matcher(texto)
+    val out = ArrayBuffer.empty[Irresignacao]
+    while (m.find())
+      out += Irresignacao(m.group(1), Py.strip(m.group(2)), m.group(3), m.group(4))
+    out.toSeq
+  }
 }

@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing — schema, partition-preserving narrow maps,
   * pooled per-partition decoder instances, batched decode shape — is real
-  * and tested. The actual media decode is STUBBED (no image/audio libs in
-  * this container): `StubDecoder` derives deterministic features from the
-  * raw bytes so tests are exact. Swapping in a real decoder changes ONE
-  * class; every schema/partitioning/batching decision stands.
+  * and tested. IMAGE decode is real too: [[ImageIODecoder]] wraps the
+  * JDK's `javax.imageio` codecs (PNG/JPEG/GIF/BMP) and computes luminance
+  * statistics from decoded pixels. Formats the JDK lacks (audio/video)
+  * fall back to [[StubDecoder]]'s deterministic byte statistics — swap
+  * one class to productionize; every schema/partitioning/batching
+  * decision stands.
   *
   * Mirrors the reference's image stages (SURVEY.md Q1-Q7,
   * image_processor.py / quality_detector.py) re-shaped for columnar media.
@@ -75,6 +77,48 @@ object Multimodal {
         Array(mean.toFloat, std.toFloat, mn.toFloat, mx.toFloat,
           n.toFloat, (b(0) & 0xff).toFloat, (b(b.length - 1) & 0xff).toFloat,
           ((b.length % 251)).toFloat)
+      }
+    }
+  }
+
+  /** REAL image decoder on the pure-JVM codec (`javax.imageio` — PNG,
+    * JPEG, GIF, BMP ship with the JDK; no external libs). Produces 8
+    * features: luminance mean/std/min/max, width, height, aspect ratio,
+    * payload bytes. Payloads the codec cannot parse fall back to the
+    * deterministic byte-statistics stub, so mixed-media columns never
+    * fail the batch (the seam `extractFeatures` relies on).
+    */
+  final class ImageIODecoder(fallback: Decoder = new StubDecoder) extends Decoder {
+    def decodeBatch(batch: Seq[Array[Byte]]): Seq[Array[Float]] = batch.map { b =>
+      val img =
+        try {
+          if (b == null || b.isEmpty) null
+          else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        } catch { case _: Throwable => null }
+      if (img == null) fallback.decodeBatch(Seq(b)).head
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0.0; var sq = 0.0; var mn = 255.0; var mx = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            sum += lum; sq += lum * lum
+            if (lum < mn) mn = lum
+            if (lum > mx) mx = lum
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toDouble
+        val mean = sum / n
+        val std = math.sqrt(math.max(0.0, sq / n - mean * mean))
+        Array(mean.toFloat, std.toFloat, mn.toFloat, mx.toFloat,
+          w.toFloat, h.toFloat, w.toFloat / h.toFloat, b.length.toFloat)
       }
     }
   }

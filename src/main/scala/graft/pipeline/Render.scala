@@ -80,4 +80,42 @@ object Render {
           format_string("<conversation id=\"%s\">", xmlEscape(col("conv_id"))),
           col("turns_xml"), lit("</conversation>")).as("xml"))
   }
+
+  /** Template-DISPATCHED structured XML documents (S8, the reference's
+    * generate_xml): assemble each conversation in stable turn order, score
+    * the assembled text into a document type, then render that type's
+    * template — sections for manifestações, histórico/situação/
+    * irresignações/pedidos/creditor-annex for relatórios, the creditor
+    * table for quadros, per-page elements for generic documents.
+    *
+    * One hash aggregation (map-side partials via array_sort∘collect_list,
+    * same shape as [[markdown]]) + a narrow mapPartitions render. The
+    * processing date is a parameter, not wall-clock: renders must be
+    * deterministic.
+    */
+  def xmlDocuments(
+      extracted: Dataset[ExtractedTurn],
+      processDate: String = "1970-01-01",
+      metodo: String = "graft-kernel"): DataFrame = {
+    val spark = extracted.sparkSession
+    import spark.implicits._
+    extracted
+      .where(col("success"))
+      .groupBy(col("conv_id"))
+      .agg(
+        array_sort(collect_list(struct(
+          col("turn_idx"), col("text_clean"), col("conf_delta")))).as("turns"),
+        avg(col("conf_delta")).as("avg_conf"))
+      .as[(String, Seq[(Int, String, Double)], Double)]
+      .mapPartitions(_.map { case (cid, turns, avgConf) =>
+        val full = turns.map(_._2).mkString("\n\n")
+        val pages = turns.zipWithIndex.map { case ((_, t, c), i) =>
+          graft.kernel.XmlDoc.Page(i + 1, c, t)
+        }
+        val (tpl, xml) = graft.kernel.XmlDoc.render(
+          full, pages, processDate, metodo, avgConf)
+        (cid, tpl, xml)
+      })
+      .toDF("conv_id", "doc_type", "xml")
+  }
 }

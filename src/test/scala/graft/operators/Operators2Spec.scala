@@ -298,6 +298,65 @@ class Operators2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f1(0L) == exp)
   }
 
+  test("multimodal: real javax.imageio decode — luminance features from actual pixels") {
+    val sp = spark
+    // deterministic 8x6 gradient image, PNG-encoded (lossless round-trip)
+    val img = new java.awt.image.BufferedImage(8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8)
+      img.setRGB(x, y, ((x * 30) << 16) | ((y * 40) << 8) | 17)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    // independent expected stats straight from the source pixels
+    var sum = 0.0; var sq = 0.0
+    for (y <- 0 until 6; x <- 0 until 8) {
+      val rgb = img.getRGB(x, y)
+      val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+      sum += lum; sq += lum * lum
+    }
+    val n = 48.0
+    val mean = sum / n
+    val std = math.sqrt(sq / n - mean * mean)
+
+    val rows = Seq(
+      Multimodal.MediaRow(1L, png, Multimodal.MediaMeta(8, 6, png.length.toLong, "image/png")),
+      Multimodal.MediaRow(2L, Array[Byte](1, 2, 3), Multimodal.MediaMeta(0, 0, 3L, "application/octet-stream")))
+    val got = Multimodal
+      .extractFeatures(sp.createDataset(rows)(org.apache.spark.sql.Encoders.product),
+        mkDecoder = () => new Multimodal.ImageIODecoder)
+      .collect().map(f => f.id -> f.features).toMap
+
+    val f1 = got(1L)
+    assert(math.abs(f1(0) - mean) < 1e-3, s"mean ${f1(0)} vs $mean")
+    assert(math.abs(f1(1) - std) < 1e-3, s"std ${f1(1)} vs $std")
+    assert(f1(4) == 8.0f && f1(5) == 6.0f)
+    assert(math.abs(f1(6) - 8.0f / 6.0f) < 1e-6)
+    assert(f1(7) == png.length.toFloat)
+    // non-image payloads fall back to the deterministic byte-stats stub
+    val stub = new Multimodal.StubDecoder().decodeBatch(Seq(Array[Byte](1, 2, 3))).head
+    assert(got(2L).toSeq == stub.toSeq)
+  }
+
+  test("semantic chunk search: self-retrieval ranks the source chunk first") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta " * 30),
+      (2L, "rare unique needle tokens about distributed query engines " * 20),
+      (3L, "omicron pi rho sigma tau " * 30)).toDF("doc_id", "text")
+    // the query IS a chunk's vocabulary -> that doc's chunks must win
+    val top = SemanticSearch.searchChunks(
+      docs, "doc_id", "text", "rare unique needle tokens about distributed query engines", 3)
+      .collect()
+    assert(top.nonEmpty && top.forall(_.getLong(0) == 2L),
+      s"expected doc 2 chunks on top, got ${top.map(_.getLong(0)).toSeq}")
+    assert(top.head.getDouble(3) > 0.95) // near-identical token distribution
+    // embeddings are unit-norm and deterministic
+    val e1 = SemanticSearch.embed("alpha beta gamma")
+    val e2 = SemanticSearch.embed("alpha beta gamma")
+    assert(e1.toSeq == e2.toSeq)
+    assert(math.abs(e1.map(x => x.toDouble * x).sum - 1.0) < 1e-6)
+  }
+
   test("multimodal: resize + frame sampling preserve lineage shapes") {
     val sp = spark; import sp.implicits._
     val docs = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789")).toDF("doc_id", "text")
