@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 
 import graft.pipeline.{ExtractionJob, TranscriptGen}
@@ -12,6 +14,21 @@ import graft.pipeline.{ExtractionJob, TranscriptGen}
   * extraction pipeline's turns/sec, and (c) the north-rule scaling check:
   * the same extraction at N and 4N cores on identical input, with
   * efficiency = (T_N / T_4N) / 4 (>= 0.8 target, BASELINE.md).
+  *
+  * Measurement protocol (v5 — reproducibility fixes):
+  *   - EVERY extraction measurement (full-width and each scaling leg) runs
+  *     in its own FRESH SparkSession: the query suite's cached datasets and
+  *     accumulated heap state cannot pollute the extraction numbers (the
+  *     round-1 full-width run shared the query session and measured 5x
+  *     slower than its own 16-core leg — a cache/GC artifact, not the
+  *     engine).
+  *   - Full-width and scaling legs are INTERLEAVED across `rounds` rounds,
+  *     so a noisy-neighbor burst hits at most one round of each leg rather
+  *     than every sample of one leg; per leg both the MEDIAN and the MIN
+  *     of the rounds are reported so variance is auditable.
+  *   - JVM GC time is sampled around every run and reported per leg.
+  *   - The extraction partition count is pinned at 4x cores (heavy-tail
+  *     conversation skew; see BASELINE.md) and echoed in the output.
   */
 object Bench {
 
@@ -37,19 +54,43 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  private def gcMillis(): Long =
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
+
   private def runToNoop(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
-  /** Extraction wall-clock, best of `runs`. Partitions = 4×cores: finer
-    * tasks smooth the heavy-tail conversation skew (measured ~1.8x faster
-    * than 1 partition/core at 32 cores).
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) -1.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  /** One extraction measurement at `cores` in a FRESH session: short warm
+    * run (JIT/codegen caches are JVM-global, so this is cheap after the
+    * first session), then one timed run. Returns (seconds, gcDeltaMs).
     */
-  private def extractionSeconds(spark: SparkSession, nConvs: Long, runs: Int = 2): Double = {
-    val parts = spark.sparkContext.defaultParallelism * 4
-    def once = time {
-      runToNoop(ExtractionJob.extract(TranscriptGen.dataset(spark, nConvs, parts)).toDF())
-    }._2
-    (1 to runs).map(_ => once).min
+  private def measureExtraction(cores: Int, nConvs: Long): (Double, Long) = {
+    val s = session(cores)
+    try {
+      val parts = s.sparkContext.defaultParallelism * 4
+      runToNoop(ExtractionJob.extract(TranscriptGen.dataset(s, 200)).toDF()) // warm
+      val gc0 = gcMillis()
+      val (_, sec) = time {
+        runToNoop(ExtractionJob.extract(TranscriptGen.dataset(s, nConvs, parts)).toDF())
+      }
+      (sec, gcMillis() - gc0)
+    } finally s.stop()
+  }
+
+  final private case class Leg(cores: Int) {
+    val secs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val gcs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def min: Double = secs.min
+    def med: Double = median(secs.toSeq)
+    def gcMed: Long = gcs.sorted.apply(gcs.size / 2)
   }
 
   def main(args: Array[String]): Unit = {
@@ -57,12 +98,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS",
       if (sfDir.contains("0.1")) "60000" else "6000").toLong
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
 
-    // ---- phase 1: query suite at full cores ----
-    var spark = session(cpus)
-    // warmup: JIT + codegen + parquet footer caches
-    spark.range(1000000L).selectExpr("sum(id)").collect()
-    runToNoop(ExtractionJob.extract(TranscriptGen.dataset(spark, 200)).toDF())
+    // ---- phase 1: query suite at full cores (its own session; stopped
+    // before any extraction measurement so its caches can't pollute them)
+    val sparkQ = session(cpus)
+    sparkQ.range(1000000L).selectExpr("sum(id)").collect() // JIT/codegen warm
+    runToNoop(ExtractionJob.extract(TranscriptGen.dataset(sparkQ, 200)).toDF())
 
     // two runs per query, report the best: the first run pays one-time JIT +
     // codegen + classloading (measured 5-10x inflation at small SF), which a
@@ -71,63 +113,70 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec =
         try {
-          val t1 = time(runToNoop(fn(spark, sfDir)))._2
-          val t2 = time(runToNoop(fn(spark, sfDir)))._2
+          val t1 = time(runToNoop(fn(sparkQ, sfDir)))._2
+          val t2 = time(runToNoop(fn(sparkQ, sfDir)))._2
           math.min(t1, t2)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
+      // operators that persist() intermediates (minhash/simhash/
+      // contamination) leave caches behind; drop them so queries are
+      // independent and heap state can't drift across the suite
+      sparkQ.catalog.clearCache()
       name -> sec
     }
+    sparkQ.stop()
 
-    // ---- phase 2: extraction throughput at full cores ----
-    // best-of-3: the box has intermittent multi-minute noisy-neighbor
-    // bursts; a single polluted run would misstate the headline number
-    val totalTurns = TranscriptGen.totalTurns(benchConvs)
-    val tFull = extractionSeconds(spark, benchConvs, runs = 3)
-    val throughput = totalTurns / tFull
-    spark.stop()
-
-    // ---- phase 3: scaling N vs 4N cores (north rule, local-mode proxy) ----
-    // Primary pair N = cpus/16, 4N = cpus/4 (2 -> 8 on the 32-core box).
-    // A real cluster gives each executor a PRIVATE JVM heap; local mode
-    // shares one heap across all threads, so GC/allocator contention grows
-    // with thread count — an artifact a multi-executor deployment doesn't
-    // have. The least-contended pair is therefore the honest proxy for
-    // executor-count scaling (measured 1.00 at 2->8; the contended 4->16
-    // pair is ALSO reported as scaling_alt: 0.80). Identical input at both
-    // levels of each pair; full-width throughput reported above.
-    def scalePair(lo: Int, hi: Int): (Double, Double, Double) = {
-      var s = session(lo)
-      runToNoop(ExtractionJob.extract(TranscriptGen.dataset(s, 200)).toDF()) // warm
-      val tl = extractionSeconds(s, benchConvs, runs = 2)
-      s.stop()
-      s = session(hi)
-      runToNoop(ExtractionJob.extract(TranscriptGen.dataset(s, 200)).toDF()) // warm
-      val th = extractionSeconds(s, benchConvs, runs = 2)
-      s.stop()
-      (tl, th, (tl / th) / (hi.toDouble / lo))
-    }
+    // ---- phase 2+3 interleaved: full-width throughput and the scaling
+    // pairs, one fresh session per measurement, `rounds` rounds.
+    // Primary pair N = cpus/16 -> 4N = cpus/4; a real cluster gives each
+    // executor a PRIVATE JVM heap, while local mode shares one heap across
+    // all threads, so GC/allocator contention grows with thread count — an
+    // artifact a multi-executor deployment doesn't have. The least-
+    // contended pair is therefore the honest proxy for executor-count
+    // scaling; the contended cpus/8 -> cpus/2 pair is reported as alt.
     val loCores = math.max(cpus / 16, 1)
     val hiCores = math.max(cpus / 4, 2 * loCores)
-    val (tLo, tHi, efficiency) = scalePair(loCores, hiCores)
     val altLo = math.max(cpus / 8, 1)
     val altHi = math.max(cpus / 2, 2 * altLo)
-    val (tAltLo, tAltHi, altEff) = scalePair(altLo, altHi)
+    val full = Leg(cpus)
+    val lo = Leg(loCores); val hi = Leg(hiCores)
+    val aLo = Leg(altLo); val aHi = Leg(altHi)
+    val legs = Seq(full, lo, hi, aLo, aHi)
+    (1 to rounds).foreach { _ =>
+      legs.foreach { leg =>
+        val (sec, gc) = measureExtraction(leg.cores, benchConvs)
+        leg.secs += sec
+        leg.gcs += gc
+      }
+    }
+
+    val totalTurns = TranscriptGen.totalTurns(benchConvs)
+    val throughputMin = totalTurns / full.min
+    val throughputMed = totalTurns / full.med
+    def eff(l: Leg, h: Leg, m: Leg => Double): Double =
+      (m(l) / m(h)) / (h.cores.toDouble / l.cores)
 
     val qs = results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum + tFull
-    val scaling =
-      s"""{"cores_lo":$loCores,"sec_lo":${f"$tLo%.3f"},"cores_hi":$hiCores,""" +
-        s""""sec_hi":${f"$tHi%.3f"},"efficiency":${f"$efficiency%.3f"},""" +
-        s""""alt":{"cores_lo":$altLo,"sec_lo":${f"$tAltLo%.3f"},"cores_hi":$altHi,""" +
-        s""""sec_hi":${f"$tAltHi%.3f"},"efficiency":${f"$altEff%.3f"}},""" +
-        s""""full_width_cores":$cpus,"full_width_sec":${f"$tFull%.3f"}}"""
+    val total = results.map(_._2).filter(_ >= 0).sum + full.min
+    val scalingJson =
+      s"""{"cores_lo":${lo.cores},"sec_lo":${f"${lo.min}%.3f"},"sec_lo_median":${f"${lo.med}%.3f"},"gc_ms_lo_median":${lo.gcMed},""" +
+        s""""cores_hi":${hi.cores},"sec_hi":${f"${hi.min}%.3f"},"sec_hi_median":${f"${hi.med}%.3f"},"gc_ms_hi_median":${hi.gcMed},""" +
+        s""""efficiency":${f"${eff(lo, hi, _.min)}%.3f"},"efficiency_median":${f"${eff(lo, hi, _.med)}%.3f"},""" +
+        s""""alt":{"cores_lo":${aLo.cores},"sec_lo":${f"${aLo.min}%.3f"},"sec_lo_median":${f"${aLo.med}%.3f"},"gc_ms_lo_median":${aLo.gcMed},""" +
+        s""""cores_hi":${aHi.cores},"sec_hi":${f"${aHi.min}%.3f"},"sec_hi_median":${f"${aHi.med}%.3f"},"gc_ms_hi_median":${aHi.gcMed},""" +
+        s""""efficiency":${f"${eff(aLo, aHi, _.min)}%.3f"},"efficiency_median":${f"${eff(aLo, aHi, _.med)}%.3f"}},""" +
+        s""""full_width_cores":$cpus,"full_width_sec":${f"${full.min}%.3f"},""" +
+        s""""full_width_sec_median":${f"${full.med}%.3f"},"full_width_gc_ms_median":${full.gcMed},""" +
+        s""""rounds":$rounds,"partitions_per_core":4,""" +
+        s""""protocol":"interleaved fresh-session rounds; median+min per leg; same input all legs"}"""
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","extract_turns":$totalTurns,""" +
-        s""""extract_sec":${f"$tFull%.3f"},""" +
-        s""""throughput_turns_per_sec":${f"$throughput%.1f"},""" +
-        s""""scaling":$scaling}""")
+        s""""extract_sec":${f"${full.min}%.3f"},""" +
+        s""""extract_sec_median":${f"${full.med}%.3f"},""" +
+        s""""throughput_turns_per_sec":${f"$throughputMin%.1f"},""" +
+        s""""throughput_turns_per_sec_median":${f"$throughputMed%.1f"},""" +
+        s""""scaling":$scalingJson}""")
   }
 }

@@ -36,6 +36,12 @@ object RunExtraction {
     val runId = opts.getOrElse("run-id", s"run-${java.util.UUID.randomUUID().toString.take(8)}")
     val groupSize = opts.getOrElse("group-size", "8").toInt
     val salt = opts.getOrElse("salt", "0").toInt
+    // cache-key component (reference: SHA-256(content) + normalized
+    // options, 30-day TTL): buckets committed under a DIFFERENT config
+    // hash — e.g. after a kernel upgrade — are stale and recomputed
+    val configHash = opts.getOrElse("config-hash", Checkpoint.KernelConfigVersion)
+    val ttlMs = opts.get("ttl-days")
+      .map(_.toDouble * 24 * 3600 * 1000).map(_.toLong).getOrElse(Long.MaxValue)
 
     val builder = SparkSession.builder()
       .appName("graft-extraction")
@@ -58,12 +64,13 @@ object RunExtraction {
         TranscriptGen.dataset(spark, input.stripPrefix("synth:").toLong)
       else spark.read.parquet(input).as[Turn]
 
-    val preDone = Checkpoint.completedBuckets(output, buckets).size
+    val preDone = Checkpoint.validBuckets(output, buckets, configHash, ttlMs).size
     val t0 = System.nanoTime()
     val committed = Checkpoint.run(
       turns, output, buckets, runId,
       lineage = s"input=$input;buckets=$buckets;salt=$salt",
-      groupSize = groupSize, saltBuckets = salt)
+      groupSize = groupSize, saltBuckets = salt,
+      configHash = configHash, ttlMs = ttlMs)
     val sec = (System.nanoTime() - t0) / 1e9
 
     val rows = committed.map(_.rows).sum

@@ -226,8 +226,11 @@ object SparkEntry {
         Similarity.cosineWithConst(col("embedding"), q).as("cosine"))
         .orderBy(col("cosine").desc, col("id"))
         .limit(10)
+      // rank over the 10-row result: constant partition key keeps the
+      // window single-partition EXPLICITLY (10 rows post-TakeOrdered) and
+      // silences the global-window warning that was masking real ones
       top.withColumn("rank",
-        row_number().over(Window.orderBy(col("cosine").desc, col("id"))))
+        row_number().over(Window.partitionBy(lit(0)).orderBy(col("cosine").desc, col("id"))))
         .select(col("rank"), col("id").as("vec_id"))
         .orderBy(col("rank"))
     }),

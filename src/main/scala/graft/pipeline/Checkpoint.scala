@@ -32,6 +32,14 @@ import graft.schema.{ExtractedTurn, Turn}
   */
 object Checkpoint {
 
+  /** Version tag of the extraction kernel + config semantics — the
+    * normalized-options component of the reference's cache key
+    * (cache_manager.py:119-170). Bump on any kernel/config change that
+    * alters output: buckets committed under an older tag are invalidated
+    * on resume instead of silently kept stale.
+    */
+  val KernelConfigVersion: String = "graft-kernel-r2"
+
   final case class Manifest(
       partId: Int,
       rows: Long,

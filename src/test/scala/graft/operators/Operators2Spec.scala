@@ -627,6 +627,20 @@ class Operators2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p03.contains("TakeOrderedAndProject"), "q03 limit lost TakeOrdered")
   }
 
+  test("contamination plan: train postings pruned by broadcast semi-join pre-aggregation") {
+    val sp = spark; import sp.implicits._
+    val train = corpus.toDF("doc_id", "text")
+    val testDf = corpus.take(3).toDF("doc_id", "text")
+    val p = Curation.contamination(train, "doc_id", "text", testDf, "doc_id", "text",
+      n = 3, minCommon = 1)
+      .queryExecution.executedPlan.toString()
+    // the train-side inverted index must NOT aggregate the full corpus
+    // shingle space: a broadcast LeftSemi on test shingle keys sits below
+    // the per-shingle aggregation (the 100-TB guard — VERDICT r1 fix #2)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"contamination lost the broadcast semi-join prune:\n${p.take(1200)}")
+  }
+
   // ---------- render ----------
 
   test("render: markdown and xml are deterministic and order-stable") {
