@@ -44,19 +44,26 @@ object StreamingExtract {
     * partition instead of appending duplicates. At-least-once replay +
     * idempotent per-batch overwrite = effectively-once output.
     */
+  /** The idempotent per-batch writer `runAvailableNow` uses: a replayed
+    * (batchId, batch) overwrites exactly its own `batch_id` partition.
+    * Exposed so tests can drive the crash-replay path directly.
+    */
+  def writeBatch(batch: Dataset[Turn], batchId: Long, outDir: String): Unit = {
+    ExtractionJob.extract(batch)
+      .withColumn("batch_id", lit(batchId))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+  }
+
   def runAvailableNow(
       spark: SparkSession, inDir: String, outDir: String, checkpointDir: String): Unit = {
     val q = readTurns(spark, inDir)
       .writeStream
       .foreachBatch { (batch: Dataset[Turn], batchId: Long) =>
-        ExtractionJob.extract(batch)
-          .withColumn("batch_id", lit(batchId))
-          .write
-          .mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(outDir)
-        ()
+        writeBatch(batch, batchId, outDir)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -28,6 +28,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("batch replay is idempotent: re-writing the same batchId leaves no duplicates") {
+    val sp = spark; import sp.implicits._
+    val outDir = Files.createTempDirectory("graft-replay-out").toString + "/out"
+    val all = TranscriptGen.dataset(spark, 6).collect().toSeq
+    val (b0, b1) = all.splitAt(all.size / 2)
+
+    StreamingExtract.writeBatch(b0.toDS(), 0L, outDir)
+    // crash between write and checkpoint commit -> the stream REPLAYS
+    // batch 0 on restart; the dynamic partition overwrite must absorb it
+    StreamingExtract.writeBatch(b0.toDS(), 0L, outDir)
+    StreamingExtract.writeBatch(b1.toDS(), 1L, outDir)
+
+    val got = spark.read.parquet(outDir)
+      .select("conv_id", "turn_idx").collect()
+      .map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+    val expected = all.map(t => (t.conv_id, t.turn_idx)).sorted
+    assert(got == expected, s"replay duplicated or lost rows: got ${got.size}, expected ${expected.size}")
+  }
+
   test("file-source AvailableNow stream equals batch extraction, exactly-once across restarts") {
     val sp = spark; import sp.implicits._
     val inDir = Files.createTempDirectory("graft-stream-in").toString
