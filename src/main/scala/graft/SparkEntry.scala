@@ -473,6 +473,21 @@ object SparkEntry {
         .where(col("tok") =!= "")
       graft.operators.HeavyHitters.heavyHitters(toks, col("tok"), 100)
     }),
+    // near-dup CLUSTER resolution + removal: two generations of mutated
+    // copies form transitive chains; connected-component keepers survive
+    "x18_dedup_resolve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val gen1 = docs.where(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" extra tail token")).as("text"))
+      val gen2 = docs.where(col("doc_id") < 50)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(lit("prefix bit "), col("text"), lit(" extra tail token more")).as("text"))
+      val kept = Dedup.dedupeNear(docs.union(gen1).union(gen2), "doc_id", "text")
+      kept.agg(
+        count(lit(1)).as("n_kept"),
+        sum(when(col("doc_id") >= 1000000, 1).otherwise(0)).cast("long").as("mutant_ids_kept"))
+    }),
     // chunk-level semantic search: chunks -> embed -> cosine rank (the
     // reference's semantic_search.py chunk-embedding path, end-to-end)
     "x17_semantic_chunks" -> ((s, dir) => {

@@ -269,6 +269,72 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ---------- pair-graph resolution (connected components) ----------
+
+  /** Resolve near-dup PAIRS into duplicate clusters: iterative min-label
+    * propagation over the pair graph. Every id appearing in a pair gets
+    * `keep_id` = the minimum id of its connected component (the standard
+    * keeper policy), so `A~B, B~C ⇒ {A,B,C}` dedupes to A even though
+    * (A,C) was never emitted as a pair.
+    *
+    * Scale shape: each round is one join + one aggregation on the edge
+    * list (both map-side combinable); rounds needed = graph diameter in
+    * hops, which for near-dup clusters is tiny (dups cluster around a
+    * source text). Lineage is cut every round via persist, and the loop
+    * stops as soon as a round changes nothing (`Observation`-free: one
+    * count per round, the same driver-loop shape as k-means training).
+    * `maxIter` guards pathological chains.
+    */
+  def resolveClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+    edges.persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    labels.persist()
+    // min-propagation is MONOTONE (labels only decrease), so convergence
+    // is detected by the total label sum going flat — one cheap aggregate
+    // per round instead of a labels⋈labels change-count join
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
+        .union(labels)
+        .groupBy("id").agg(min(col("label")).as("label"))
+      next.persist()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("keep_id"))
+  }
+
+  /** End-to-end near-duplicate removal: MinHash+LSH pairs → connected-
+    * component resolution → anti-join the non-keeper ids out. Returns the
+    * deduplicated rows (cluster keepers + everything unpaired).
+    */
+  def dedupeNear(
+      df: DataFrame, idCol: String, textCol: String,
+      p: MinHashParams = MinHashParams()): DataFrame = {
+    val pairs = minHashNearDups(df, idCol, textCol, p)
+    val losers = resolveClusters(pairs)
+      .where(col("id") =!= col("keep_id"))
+      .select(col("id"))
+    // no broadcast hint: the loser set's size is data-dependent (tiny for
+    // clean corpora, huge for crawl snapshots) — AQE picks the join side
+    df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
   // ---------- embedding cosine near-dup ----------
 
   /** Near-duplicate embeddings via hyperplane-LSH candidates + exact cosine

@@ -99,6 +99,40 @@ class Operators2Spec extends AnyFunSuite with BeforeAndAfterAll {
       "k-means training must be deterministic across runs")
   }
 
+  test("cluster resolution: transitive chains collapse to min-id keepers; dedupeNear matches union-find") {
+    val sp = spark; import sp.implicits._
+    // chain 1-2-3-4 (no direct 1-4 pair), plus two separate components
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.resolveClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+
+    // end-to-end vs an INDEPENDENT driver-side union-find over the pairs
+    val base = corpus.toDF("doc_id", "text")
+    val lshPairs = Dedup.minHashNearDups(base, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(lshPairs.nonEmpty)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    lshPairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val losers = (lshPairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .filter(id => find(id) != id)).toSet
+    val expectedKept = corpus.map(_._1).toSet -- losers
+
+    val kept = Dedup.dedupeNear(base, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == expectedKept,
+      s"dedupeNear kept ${kept.size}, union-find expected ${expectedKept.size}")
+  }
+
   // ---------- rules ----------
 
   test("rule engine: operators + priority ladder") {
