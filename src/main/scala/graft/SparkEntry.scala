@@ -335,6 +335,16 @@ object SparkEntry {
         .orderBy(col("route"), col("engine"))
     }),
 
+    // ---- deterministic stratified sampling (curation rebalancing) ----
+    "q25_det_sample" -> ((s, dir) => {
+      import graft.operators.Curation
+      Curation.stratifiedSample(t(s, dir, "documents"),
+        col("lang"), col("doc_id"),
+        rates = Map("en" -> 200, "zh" -> 500), defaultPermille = 800)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("lang"))
+    }),
+
     // ================= rows-only checks (not SQL-expressible) ============
     // extraction pipeline per-turn output (verified vs reference goldens in
     // sbt test; DuckDB cannot replicate the CPython-semantics kernel)
@@ -668,6 +678,13 @@ object SparkEntry {
          |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
          |  count(*) AS n
          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q25_det_sample" ->
+      s"""SELECT lang, count(*) AS n_sampled
+         |FROM documents
+         |WHERE ${graft.operators.Curation.hashBucketSql("doc_id", 1000)} <
+         |  (CASE WHEN lang = 'zh' THEN 500 WHEN lang = 'en' THEN 200 ELSE 800 END)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q23_rule_actions" ->
       """WITH ctx AS (

@@ -88,6 +88,35 @@ object Curation {
       .where(col("common") >= minCommon)
   }
 
+  /** Deterministic sampling: keep a row iff its key hashes into the first
+    * `permille` of 1000 md5 buckets. Unlike Bernoulli `df.sample`, the
+    * decision is a pure function of the KEY — reproducible across runs,
+    * engines, partitionings and appends (a row's fate never changes when
+    * the corpus grows), and exactly mirrorable in the DuckDB oracle.
+    * Nested sampling: a 10‰ sample is a strict subset of a 100‰ sample.
+    */
+  def deterministicSample(df: DataFrame, keyCol: Column, permille: Int): DataFrame = {
+    require(permille >= 0 && permille <= 1000, "permille in [0, 1000]")
+    df.where(hashBucket(keyCol, 1000) < permille)
+  }
+
+  def deterministicSampleSql(keyExpr: String, permille: Int): String =
+    s"${hashBucketSql(keyExpr, 1000)} < $permille"
+
+  /** Deterministic STRATIFIED sampling: per-stratum permille rates (e.g.
+    * downsample the dominant language, keep the long tail whole) — the
+    * curation move for rebalancing a training mix. Strata not listed keep
+    * `defaultPermille`.
+    */
+  def stratifiedSample(
+      df: DataFrame, strataCol: Column, keyCol: Column,
+      rates: Map[String, Int], defaultPermille: Int = 1000): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultPermille)) { case (acc, (stratum, p)) =>
+      when(strataCol === stratum, lit(p)).otherwise(acc)
+    }
+    df.where(hashBucket(keyCol, 1000) < rate)
+  }
+
   /** Exact length-distribution profile per group — `percentile` is exact
     * linear interpolation in both Spark and DuckDB (oracle-parity).
     */

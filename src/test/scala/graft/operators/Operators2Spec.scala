@@ -18,6 +18,8 @@ class Operators2Spec extends AnyFunSuite with BeforeAndAfterAll {
       .appName("graft-operators2-spec")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -659,6 +661,66 @@ class Operators2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p02.contains("SortMergeJoin"), "q02 dim join degraded to SMJ")
     val p03 = plan("q03_top_orders")
     assert(p03.contains("TakeOrderedAndProject"), "q03 limit lost TakeOrdered")
+  }
+
+  test("deterministic sampling: nested subsets, append invariance, stratified rates") {
+    val sp = spark; import sp.implicits._
+    val df = (0L until 2000L).map(i => (i, if (i % 3 == 0) "en" else "zh")).toDF("id", "lang")
+    def ids(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      d.select("id").collect().map(_.getLong(0)).toSet
+    val s100 = ids(Curation.deterministicSample(df, col("id"), 100))
+    val s500 = ids(Curation.deterministicSample(df, col("id"), 500))
+    assert(s100.subsetOf(s500), "smaller rate must be a strict subset (nested samples)")
+    assert(math.abs(s500.size / 2000.0 - 0.5) < 0.05, s"rate off: ${s500.size}/2000")
+    // append invariance: a row's fate is a pure function of its key
+    val sPrefix = ids(Curation.deterministicSample(df.where(col("id") < 1000), col("id"), 500))
+    assert(sPrefix == s500.filter(_ < 1000))
+    // stratified: per-stratum rates applied exactly
+    val strat = Curation.stratifiedSample(df, col("lang"), col("id"), Map("en" -> 0), 1000)
+    assert(strat.where(col("lang") === "en").count() == 0)
+    assert(strat.where(col("lang") === "zh").count() ==
+      df.where(col("lang") === "zh").count())
+  }
+
+  test("fallback plan: predicate split from one scan, no shuffle") {
+    // parquet-backed input: a local relation would be constant-folded by
+    // ConvertToLocalRelation and the plan shape would vanish
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val e1 = Fallback.Engine("a", identity, t => length(t).cast("double") / 100.0)
+    val e2 = Fallback.Engine("b", identity, t => length(t).cast("double") / 50.0)
+    val p = Fallback.twoPass(df, "text", e1, e2, 0.5)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("Union"), s"two-pass must union kept+fallback branches:\n${p.take(800)}")
+    assert(!p.contains("Exchange"), s"fallback two-pass must be shuffle-free:\n${p.take(800)}")
+  }
+
+  test("bucketed join-back: co-located join without a shuffle (100-TB story)") {
+    val sp = spark; import sp.implicits._
+    val turns = graft.pipeline.TranscriptGen.dataset(spark, 10)
+    val extracted = graft.pipeline.ExtractionJob.extract(turns)
+    turns.toDF().write.bucketBy(4, "conv_id").sortBy("conv_id")
+      .mode("overwrite").saveAsTable("graft_src_bucketed")
+    extracted.toDF().select("conv_id", "turn_idx", "text_clean")
+      .write.bucketBy(4, "conv_id").sortBy("conv_id")
+      .mode("overwrite").saveAsTable("graft_ext_bucketed")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge path: the point is that BUCKETING (not a
+      // broadcast) removes the shuffle, as it would at 100 TB where
+      // neither side broadcasts
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_src_bucketed")
+        .join(spark.table("graft_ext_bucketed"), Seq("conv_id"))
+      val p = joined.queryExecution.executedPlan.toString()
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n${p.take(1000)}")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed-by-conv_id join must not shuffle:\n${p.take(1000)}")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_src_bucketed")
+      spark.sql("DROP TABLE IF EXISTS graft_ext_bucketed")
+    }
   }
 
   test("contamination plan: train postings pruned by broadcast semi-join pre-aggregation") {
