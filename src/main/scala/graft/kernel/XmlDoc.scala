@@ -47,9 +47,10 @@ object XmlDoc {
     * (generate_xml, :38-49). Returns (templateType, xml).
     */
   def render(
-      texto: String, pages: Seq[Page], processDate: String,
+      texto0: String, pages: Seq[Page], processDate: String,
       metodo: String = "graft-kernel", confMedia: Double = 0.0,
       templateType: String = "auto"): (String, String) = {
+    val texto = Option(texto0).getOrElse("")
     val tpl0 =
       if (templateType == "auto" || templateType == DocType.Generic ||
         !templateNames.contains(templateType))

@@ -297,7 +297,8 @@ object Dedup {
     // is detected by the total label sum going flat — one cheap aggregate
     // per round instead of a labels⋈labels change-count join
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty pair graph
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false

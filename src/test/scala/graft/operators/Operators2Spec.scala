@@ -110,6 +110,8 @@ class Operators2Spec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    // empty pair graph: no clusters, no NPE
+    assert(Dedup.resolveClusters(pairs.where(col("id_a") < 0)).count() == 0)
 
     // end-to-end vs an INDEPENDENT driver-side union-find over the pairs
     val base = corpus.toDF("doc_id", "text")
