@@ -12,12 +12,24 @@ import org.apache.spark.sql.functions._
   * (multi_engine.py:183-191): the later attempt wins if it clears the
   * threshold OR beats the best-so-far, else the earlier result stands.
   *
-  * Scale shape: one narrow pass computes first-pass results; the split is
-  * a predicate (no join, no shuffle — cheaper than the row-key anti-join
-  * form since both branches come from the same scan); the expensive second
-  * engine runs ONLY on the routed slice (the whole point at 100 TB: the
-  * expensive engine sees the ~tail, not the corpus). Output schema adds
-  * `result_text`, `quality`, `engine`, `route`.
+  * Scale shape: the expensive second engine runs ONLY on the routed slice
+  * (the whole point at 100 TB: the expensive engine sees the ~tail, not
+  * the corpus). Two forms:
+  *
+  *   - [[onePass]] — for engines that are pure column expressions: one
+  *     scan, no union; `CASE WHEN` evaluates the second engine's
+  *     expressions lazily per row, so fallback work happens only on
+  *     routed rows. Prefer this whenever both engines are columnar.
+  *   - [[twoPass]] — the materialized-split form for engines that need a
+  *     real second stage (a pooled-kernel `mapPartitions`, an external
+  *     service). NOTE: the kept/fallback branches are complementary
+  *     FILTERS over the first pass, and the routing predicate (computed
+  *     quality) is not pushable — without `cacheFirstPass` the source is
+  *     scanned twice. Set `cacheFirstPass=true` to persist pass 1 when
+  *     the input lineage is expensive (caller clears the cache after the
+  *     consuming action).
+  *
+  * Output schema adds `result_text`, `quality`, `engine`, `route`.
   */
 object Fallback {
 
@@ -30,13 +42,38 @@ object Fallback {
       result: Column => Column,
       quality: Column => Column)
 
-  def twoPass(
+  /** Single-scan form for COLUMN-expressible engines: `when` evaluates the
+    * second engine's expressions only on rows whose first-pass quality
+    * misses the threshold (CaseWhen short-circuits per row in codegen) —
+    * reference routing semantics with exactly one pass over the corpus.
+    */
+  def onePass(
       df: DataFrame, textCol: String,
       first: Engine, second: Engine,
       qualityThreshold: Double = 0.7): DataFrame = {
-    val pass1 = df
+    val t1 = first.result(col(textCol))
+    val q1 = coalesce(first.quality(t1), lit(0.0))
+    val t2 = second.result(col(textCol))
+    val q2 = coalesce(second.quality(t2), lit(0.0))
+    val kept = q1 >= qualityThreshold
+    val use2 = q2 >= qualityThreshold || q2 > q1
+    df
+      .withColumn("result_text", when(kept, t1).otherwise(when(use2, t2).otherwise(t1)))
+      .withColumn("quality", when(kept, q1).otherwise(when(use2, q2).otherwise(q1)))
+      .withColumn("engine", when(kept, lit(first.name))
+        .otherwise(when(use2, lit(second.name)).otherwise(lit(first.name))))
+      .withColumn("route", when(kept, lit("kept")).otherwise(lit("fallback")))
+  }
+
+  def twoPass(
+      df: DataFrame, textCol: String,
+      first: Engine, second: Engine,
+      qualityThreshold: Double = 0.7,
+      cacheFirstPass: Boolean = false): DataFrame = {
+    val pass1raw = df
       .withColumn("__t1", first.result(col(textCol)))
       .withColumn("__q1", coalesce(first.quality(col("__t1")), lit(0.0)))
+    val pass1 = if (cacheFirstPass) pass1raw.persist() else pass1raw
 
     // quality acceptable: keep the first engine's result, second engine
     // never runs for these rows (multi_engine.py:185-188 `break`)

@@ -255,6 +255,13 @@ class Operators2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == (("fallback", "high_quality", 0.95)))
     assert(out(3L) == (("fallback", "high_quality", 0.5))) // 0.5 > 0.3: better-so-far wins
     assert(out(4L) == (("fallback", "low_quality", 0.6)))
+
+    // the single-scan CASE form routes identically to the two-pass form
+    val one = Fallback.onePass(df, "text", e1, e2, qualityThreshold = 0.8)
+      .select("id", "route", "engine", "quality")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getDouble(3))))
+      .toMap
+    assert(one == out)
   }
 
   // ---------- search ----------
