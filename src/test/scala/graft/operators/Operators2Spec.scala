@@ -655,6 +655,20 @@ class Operators2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(4L)._1 == "texto sem pii nenhum" && got(4L)._2.isEmpty)
   }
 
+  test("redaction is boundary-anchored: a match embedded in a longer token stays intact") {
+    val sp = spark; import sp.implicits._
+    // the standalone valid CPF is detected; the SAME digits embedded in
+    // A...B never matched the \b-anchored detector, so replacement must
+    // not touch them (ADVICE r1: plain substring replace over-redacted)
+    val df = Seq(
+      (1L, "CPF 123.456.789-09 e token A123.456.789-09B juntos")).toDF("doc_id", "text")
+    val got = Redact.redact(df, "doc_id", "text").collect().head
+    assert(got.text_redacted.contains("[CPF]"))
+    assert(got.text_redacted.contains("A123.456.789-09B"),
+      s"embedded token was wrongly redacted: ${got.text_redacted}")
+    assert(got.redactions == Map("cpf" -> 1))
+  }
+
   // ---------- plan-shape regression guards ----------
 
   test("plan guards: filter pushdown reaches the scan; dim joins broadcast; topk avoids full sort") {
