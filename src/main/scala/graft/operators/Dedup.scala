@@ -271,24 +271,57 @@ object Dedup {
 
   // ---------- pair-graph resolution (connected components) ----------
 
-  /** Resolve near-dup PAIRS into duplicate clusters: iterative min-label
-    * propagation over the pair graph. Every id appearing in a pair gets
-    * `keep_id` = the minimum id of its connected component (the standard
-    * keeper policy), so `A~B, B~C ⇒ {A,B,C}` dedupes to A even though
-    * (A,C) was never emitted as a pair.
+  /** Resolve near-dup PAIRS into duplicate clusters: every id appearing
+    * in a pair gets `keep_id` = the minimum id of its connected component
+    * (the standard keeper policy), so `A~B, B~C ⇒ {A,B,C}` dedupes to A
+    * even though (A,C) was never emitted as a pair.
     *
-    * Scale shape: each round is one join + one aggregation on the edge
-    * list (both map-side combinable); rounds needed = graph diameter in
-    * hops, which for near-dup clusters is tiny (dups cluster around a
-    * source text). Lineage is cut every round via persist, and the loop
-    * stops as soon as a round changes nothing (`Observation`-free: one
-    * count per round, the same driver-loop shape as k-means training).
-    * `maxIter` guards pathological chains.
+    * SIZE-ADAPTIVE execution (the AQE philosophy applied to an iterative
+    * op): near-dup pair graphs are SPARSE relative to the corpus, so when
+    * the pair count fits under `driverMaxPairs` (default 4M ≈ 64 MB) the
+    * component resolution is a single collect + path-compressed
+    * union-find — one job instead of diameter-many iterative jobs. Above
+    * the threshold it switches to distributed min-label propagation:
+    * each round is one join + one aggregation on the edge list (map-side
+    * combinable); rounds = graph diameter (tiny for near-dup clusters);
+    * lineage is cut per round; the monotone label-sum detects
+    * convergence; `maxIter` guards pathological chains.
     */
-  def resolveClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val edges = pairs
-      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+  def resolveClusters(
+      pairs: DataFrame, maxIter: Int = 10,
+      driverMaxPairs: Long = 4000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val pr = pairs
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)]
+    pr.persist()
+    val nPairs = pr.count()
+    if (nPairs <= driverMaxPairs) {
+      val arr = pr.collect()
+      pr.unpersist()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrDefault(x, x) != x) {
+          val p = parent.getOrDefault(x, x)
+          parent.put(x, parent.getOrDefault(p, p)) // path halving
+          x = parent.getOrDefault(x, x)
+        }
+        x
+      }
+      arr.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb)) // min-id root
+      }
+      val rows = arr.iterator.flatMap(p => Iterator(p._1, p._2))
+        .toSet[Long].iterator.map(id => (id, find(id))).toSeq
+      return spark.createDataset(rows).toDF("id", "keep_id")
+    }
+
+    val edges = pr.toDF("id_a", "id_b")
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pr.toDF("id_a", "id_b").select(col("id_b").as("src"), col("id_a").as("dst")))
     edges.persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -317,6 +350,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    pr.unpersist()
     labels.select(col("id"), col("label").as("keep_id"))
   }
 

@@ -23,7 +23,7 @@ object Similarity {
     * query vector, computed in double.
     */
   def dotWithConst(vec: Column, q: Array[Float]): Column = {
-    val qCol = array(q.map(x => lit(x.toDouble)): _*)
+    val qCol = array(q.toIndexedSeq.map(x => lit(x.toDouble)): _*)
     aggregate(
       zip_with(vec, qCol, (a, b) => a.cast("double") * b),
       lit(0.0), (acc, x) => acc + x)

@@ -106,12 +106,19 @@ class Operators2Spec extends AnyFunSuite with BeforeAndAfterAll {
     // chain 1-2-3-4 (no direct 1-4 pair), plus two separate components
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
       .toDF("id_a", "id_b")
-    val got = Dedup.resolveClusters(pairs)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L)
+    // driver union-find path (small pair graph)
+    val gotDriver = Dedup.resolveClusters(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
-    // empty pair graph: no clusters, no NPE
+    assert(gotDriver == expected)
+    // distributed min-label-propagation path (forced)
+    val gotDist = Dedup.resolveClusters(pairs, driverMaxPairs = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDist == expected)
+    // empty pair graph: no clusters, no NPE (both paths)
     assert(Dedup.resolveClusters(pairs.where(col("id_a") < 0)).count() == 0)
+    assert(Dedup.resolveClusters(pairs.where(col("id_a") < 0), driverMaxPairs = 0L).count() == 0)
 
     // end-to-end vs an INDEPENDENT driver-side union-find over the pairs
     val base = corpus.toDF("doc_id", "text")
