@@ -345,6 +345,27 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ---- Gopher-style repetition filters (training-data curation) ----
+    // the synthetic docs are single-line, so line/paragraph structure is
+    // derived in-query from word boundaries (the metric itself is what's
+    // under test; 426/500 docs exceed the 0.30 gate at sf0.01)
+    "q26_repetition" -> ((s, dir) => {
+      val lineText = regexp_replace(col("text"), " ", "\n")
+      val paraText = regexp_replace(col("text"), " ", "\n\n")
+      t(s, dir, "documents")
+        .select(
+          TextAnalysis.dupLineFraction(lineText).as("dlf"),
+          TextAnalysis.dupParagraphFraction(paraText).as("dpf"),
+          TextAnalysis.repetitionGate(lineText).as("keep"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("dlf") > 0.30, 1).otherwise(0)).cast("long").as("n_high_dup_lines"),
+          sum(when(col("dpf") > 0.30, 1).otherwise(0)).cast("long").as("n_high_dup_paras"),
+          sum(when(col("keep"), 1).otherwise(0)).cast("long").as("n_kept"),
+          round(max(col("dlf")), 4).as("max_dlf"),
+          round(max(col("dpf")), 4).as("max_dpf"))
+    }),
+
     // ================= rows-only checks (not SQL-expressible) ============
     // extraction pipeline per-turn output (verified vs reference goldens in
     // sbt test; DuckDB cannot replicate the CPython-semantics kernel)
@@ -685,6 +706,21 @@ object SparkEntry {
          |WHERE ${graft.operators.Curation.hashBucketSql("doc_id", 1000)} <
          |  (CASE WHEN lang = 'zh' THEN 500 WHEN lang = 'en' THEN 200 ELSE 800 END)
          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q26_repetition" -> {
+      val lineT = "regexp_replace(text, ' ', chr(10), 'g')"
+      val paraT = "regexp_replace(text, ' ', chr(10) || chr(10), 'g')"
+      val dlf = TextAnalysis.dupLineFractionSql(lineT)
+      val dpf = TextAnalysis.dupParagraphFractionSql(paraT)
+      s"""WITH s AS (
+         |  SELECT $dlf AS dlf, $dpf AS dpf FROM documents)
+         |SELECT count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN dlf > 0.30 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_dup_lines,
+         |  CAST(sum(CASE WHEN dpf > 0.30 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_dup_paras,
+         |  CAST(sum(CASE WHEN dlf <= 0.30 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  round(max(dlf), 4) AS max_dlf, round(max(dpf), 4) AS max_dpf
+         |FROM s""".stripMargin
+    },
 
     "q23_rule_actions" ->
       """WITH ctx AS (

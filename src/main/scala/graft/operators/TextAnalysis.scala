@@ -198,4 +198,44 @@ object TextAnalysis {
 
   def fingerprintSql(t: String): String =
     s"md5(regexp_replace(trim(lower($t)), '\\s+', ' ', 'g'))"
+
+  // ---- repetition signals (Gopher-style curation filters, Rae et al.
+  // 2021 §A1.1: documents dominated by repeated lines/paragraphs are
+  // boilerplate/spam and are dropped before training) ----
+
+  /** fraction of non-empty units (split on `sep`) that are duplicates:
+    * 1 - distinct/total; 0.0 for unit-less text. Pure column expr.
+    */
+  private def dupUnitFraction(text: Column, sep: String): Column = {
+    val units = filter(split(text, sep), u => trim(u) =!= "")
+    when(size(units) <= 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(units)).cast("double") / size(units).cast("double"))
+  }
+
+  /** DuckDB mirror; `sepSql` is a SQL expression for the split regex
+    * (e.g. `chr(10)`), `t` any SQL text expression.
+    */
+  def dupFractionSql(t: String, sepSql: String): String = {
+    val units = s"list_filter(regexp_split_to_array($t, $sepSql), u -> trim(u) <> '')"
+    s"CASE WHEN len($units) <= 0 THEN 0.0 ELSE " +
+      s"1.0 - CAST(len(list_distinct($units)) AS DOUBLE) / CAST(len($units) AS DOUBLE) END"
+  }
+
+  def dupLineFraction(text: Column): Column = dupUnitFraction(text, "\n")
+  def dupLineFractionSql(t: String): String = dupFractionSql(t, "chr(10)")
+
+  def dupParagraphFraction(text: Column): Column = dupUnitFraction(text, "\n\n")
+  def dupParagraphFractionSql(t: String): String =
+    dupFractionSql(t, "chr(10) || chr(10)")
+
+  /** Gopher repetition gate: keep documents whose duplicate-line and
+    * duplicate-paragraph fractions are under the thresholds (the paper's
+    * 0.30/0.30 defaults). A predicate, so it pushes into scans.
+    */
+  def repetitionGate(
+      text: Column,
+      maxDupLineFrac: Double = 0.30,
+      maxDupParaFrac: Double = 0.30): Column =
+    dupLineFraction(text) <= maxDupLineFrac &&
+      dupParagraphFraction(text) <= maxDupParaFrac
 }

@@ -693,6 +693,27 @@ class Operators2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p03.contains("TakeOrderedAndProject"), "q03 limit lost TakeOrdered")
   }
 
+  test("repetition signals: duplicate line/paragraph fractions by hand") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, "a\nb\na\n\na"),          // lines [a,b,a,a]: 1-2/4 = 0.5; paras [a\nb\na, a]: 0.0
+      (2L, "x\ny\nz"),               // all distinct: 0.0
+      (3L, "p\n\np\n\np"),           // paras [p,p,p]: 1-1/3; lines [p,p,p]: same
+      (4L, ""),                      // no units: 0.0
+      (5L, "solo")).toDF("id", "text")
+    val got = df.select(col("id"),
+      TextAnalysis.dupLineFraction(col("text")).as("dlf"),
+      TextAnalysis.dupParagraphFraction(col("text")).as("dpf"),
+      TextAnalysis.repetitionGate(col("text")).as("keep"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    assert(got(1L)._1 == 0.5 && got(1L)._2 == 0.0 && !got(1L)._3) // dlf 0.5 > 0.3
+    assert(got(2L) == ((0.0, 0.0, true)))
+    assert(math.abs(got(3L)._2 - (1.0 - 1.0 / 3)) < 1e-12 && !got(3L)._3)
+    assert(got(4L) == ((0.0, 0.0, true)))
+    assert(got(5L) == ((0.0, 0.0, true)))
+  }
+
   test("deterministic sampling: nested subsets, append invariance, stratified rates") {
     val sp = spark; import sp.implicits._
     val df = (0L until 2000L).map(i => (i, if (i % 3 == 0) "en" else "zh")).toDF("id", "lang")
