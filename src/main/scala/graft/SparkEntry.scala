@@ -519,6 +519,15 @@ object SparkEntry {
         count(lit(1)).as("n_kept"),
         sum(when(col("doc_id") >= 1000000, 1).otherwise(0)).cast("long").as("mutant_ids_kept"))
     }),
+    // top word-n-gram repetition rule (kernel tier: per-row frequency map)
+    "x19_ngram_repetition" -> ((s, dir) => {
+      TextAnalysis.ngramRepetition(t(s, dir, "documents"), "doc_id", "text")
+        .toDF()
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1).otherwise(0)).cast("long").as("n_kept"),
+          round(max(col("top2")), 4).as("max_top2"),
+          round(max(col("top4")), 4).as("max_top4"))
+    }),
     // chunk-level semantic search: chunks -> embed -> cosine rank (the
     // reference's semantic_search.py chunk-embedding path, end-to-end)
     "x17_semantic_chunks" -> ((s, dir) => {

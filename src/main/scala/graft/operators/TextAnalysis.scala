@@ -238,4 +238,49 @@ object TextAnalysis {
       maxDupParaFrac: Double = 0.30): Column =
     dupLineFraction(text) <= maxDupLineFrac &&
       dupParagraphFraction(text) <= maxDupParaFrac
+
+  /** The remaining published repetition rule: fraction of the (whitespace-
+    * normalized) text's characters covered by the most frequent word
+    * n-gram — Rae et al. 2021 gate at 0.20/0.18/0.16 for n = 2/3/4. Ties
+    * break to the lexicographically smallest n-gram (deterministic). A
+    * per-row frequency map, so this is the kernel-Scala tier (used via
+    * `mapPartitions`), not a Column expression.
+    */
+  def topNgramCharFraction(text: String, n: Int): Double = {
+    val toks = graft.kernel.Py.splitWs(
+      graft.kernel.Py.lower(Option(text).getOrElse("")))
+    if (toks.length < n || n < 1) return 0.0
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    toks.sliding(n).foreach { w =>
+      val k = w.mkString(" ")
+      counts.update(k, counts.getOrElse(k, 0) + 1)
+    }
+    val (bestK, bestC) = counts.iterator.maxBy { case (k, c) => (c, k) }(
+      Ordering.Tuple2(Ordering.Int, Ordering.String.reverse))
+    // an n-gram occurring once is not repetition: gating on it would drop
+    // short documents whose single longest n-gram covers much of the text
+    if (bestC <= 1) return 0.0
+    val total = toks.iterator.map(_.length).sum + (toks.length - 1) // joined length
+    if (total <= 0) 0.0 else (bestC.toLong * bestK.length).toDouble / total
+  }
+
+  /** Distributed form: (id, top-2/3/4-gram char fractions, gate). */
+  final case class NgramRepetition(
+      id: Long, top2: Double, top3: Double, top4: Double, keep: Boolean)
+
+  def ngramRepetition(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      max2: Double = 0.20, max3: Double = 0.18, max4: Double = 0.16)
+      : org.apache.spark.sql.Dataset[NgramRepetition] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val f2 = topNgramCharFraction(t, 2)
+        val f3 = topNgramCharFraction(t, 3)
+        val f4 = topNgramCharFraction(t, 4)
+        NgramRepetition(id, f2, f3, f4, f2 <= max2 && f3 <= max3 && f4 <= max4)
+      })
+  }
 }

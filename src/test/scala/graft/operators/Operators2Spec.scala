@@ -714,6 +714,25 @@ class Operators2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(5L) == ((0.0, 0.0, true)))
   }
 
+  test("top n-gram char fraction: hand-computed, deterministic tie-break") {
+    // toks [a,b,a,b,a,b]: "a b" x3 of 5 bigrams; joined length 11
+    assert(math.abs(TextAnalysis.topNgramCharFraction("a b a b a b", 2) - 9.0 / 11) < 1e-12)
+    // all bigrams distinct: nothing REPEATS -> 0.0 (a count-1 "top" n-gram
+    // is not repetition and must not gate short documents)
+    assert(TextAnalysis.topNgramCharFraction("w x y z", 2) == 0.0)
+    // shorter than n
+    assert(TextAnalysis.topNgramCharFraction("solo", 2) == 0.0)
+    assert(TextAnalysis.topNgramCharFraction("", 3) == 0.0)
+    // tie-break: equal counts (2 each) -> lexicographically smallest wins
+    assert(TextAnalysis.topNgramCharFraction("aa bb aa bb cc dd cc dd", 2) == 10.0 / 23)
+
+    val sp = spark; import sp.implicits._
+    val df = Seq((1L, "spam spam spam spam"), (2L, "all words differ here ok")).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramRepetition(df, "doc_id", "text")
+      .collect().map(r => r.id -> r.keep).toMap
+    assert(!got(1L) && got(2L))
+  }
+
   test("deterministic sampling: nested subsets, append invariance, stratified rates") {
     val sp = spark; import sp.implicits._
     val df = (0L until 2000L).map(i => (i, if (i % 3 == 0) "en" else "zh")).toDF("id", "lang")
