@@ -166,6 +166,17 @@ class SectionsSpec extends AnyFunSuite {
         "<metadados versao=\"1.0\"><informacoesOCR metodo=\"graft-kernel\" confiancaMedia=\"0.5000\"/><estatisticas totalPaginas=\"1\" caracteresExtraidos=\"72\"/></metadados></documento>")
   }
 
+  test("explicit template override skips detection; unknown types fall back to detection") {
+    // generate_xml honors a caller-chosen template (xml_output_generator.py:38-40)
+    val (tpl, xml) = XmlDoc.render(tGen, Seq(XmlDoc.Page(1, 0.0, tGen)),
+      "2024-01-15", templateType = "quadro_credores")
+    assert(tpl == "quadro_credores" && xml.startsWith("<quadroGeralDeCredores>"))
+    // unknown template name -> content-scored detection (:39 fallback)
+    val (tpl2, _) = XmlDoc.render(tManif, Seq(XmlDoc.Page(1, 0.0, tManif)),
+      "2024-01-15", templateType = "nope")
+    assert(tpl2 == "manifestacao_processual")
+  }
+
   test("xml escaping in dispatched documents: quotes, angle brackets, ampersands") {
     val hostile = "a & b <tag> \"quoted\" text"
     val (_, xml) = XmlDoc.render(hostile, Seq(XmlDoc.Page(1, 0.0, hostile)), "2024-01-15")

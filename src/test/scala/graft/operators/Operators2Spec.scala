@@ -231,6 +231,23 @@ class Operators2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(applied(r3).isEmpty)
   }
 
+  test("rule actions: a later rule can condition on a column CREATED by an earlier rule") {
+    val sp = spark; import sp.implicits._
+    import Rules._
+    val df = Seq((1L, "invoice"), (2L, "memo")).toDF("id", "kind")
+    val rules = Seq(
+      ActionRule("tagger", 20, Seq(Condition("kind", Op.Equals, "invoice")),
+        Seq(SetValue("flag", 1))),
+      // `flag` does not exist in the input schema; it is created by the
+      // rule above (null where unmatched) — the evolving-context contract
+      ActionRule("reactor", 10, Seq(Condition("flag", Op.Equals, 1)),
+        Seq(SetValue("reacted", true))))
+    val out = applyActions(df, rules).orderBy("id").collect()
+    assert(out(0).getAs[Boolean]("reacted"))
+    assert(out(1).isNullAt(out(1).fieldIndex("reacted")))
+    assert(out(1).isNullAt(out(1).fieldIndex("flag")))
+  }
+
   // ---------- quality-routed fallback ----------
 
   test("fallback: threshold enforcement routes low-quality rows to the second engine") {
@@ -750,6 +767,12 @@ class Operators2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(strat.where(col("lang") === "en").count() == 0)
     assert(strat.where(col("lang") === "zh").count() ==
       df.where(col("lang") === "zh").count())
+    // null stratum falls to the default rate
+    val withNull = df.withColumn("lang",
+      when(col("id") < 100, lit(null).cast("string")).otherwise(col("lang")))
+    val stratNull = Curation.stratifiedSample(
+      withNull, col("lang"), col("id"), Map("en" -> 0), defaultPermille = 1000)
+    assert(stratNull.where(col("lang").isNull).count() == 100)
   }
 
   test("fallback plan: predicate split from one scan, no shuffle") {
