@@ -721,12 +721,19 @@ object SparkEntry {
       val paraT = "regexp_replace(text, ' ', chr(10) || chr(10), 'g')"
       val dlf = TextAnalysis.dupLineFractionSql(lineT)
       val dpf = TextAnalysis.dupParagraphFractionSql(paraT)
+      // keep mirrors repetitionGate(lineText) SEMANTICALLY: BOTH the
+      // dup-line and the dup-paragraph fraction of lineText gated at 0.30
+      // (lineText has no blank lines on current data, so its paragraph
+      // fraction is 0 — but the mirror must not depend on that)
+      val dpfOfLineT = TextAnalysis.dupParagraphFractionSql(lineT)
       s"""WITH s AS (
-         |  SELECT $dlf AS dlf, $dpf AS dpf FROM documents)
+         |  SELECT $dlf AS dlf, $dpf AS dpf,
+         |         ($dlf <= 0.30 AND $dpfOfLineT <= 0.30) AS keep
+         |  FROM documents)
          |SELECT count(*) AS n_docs,
          |  CAST(sum(CASE WHEN dlf > 0.30 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_dup_lines,
          |  CAST(sum(CASE WHEN dpf > 0.30 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_dup_paras,
-         |  CAST(sum(CASE WHEN dlf <= 0.30 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  round(max(dlf), 4) AS max_dlf, round(max(dpf), 4) AS max_dpf
          |FROM s""".stripMargin
     },

@@ -68,8 +68,11 @@ object Curation {
       })
       .toDF("s", s"${side}_id")
 
+    // test postings are consumed twice (key prune + final join) but the
+    // benchmark side is tiny BY DESIGN (that's why the prune direction
+    // works) — recomputing the narrow shingle pass is cheaper than pinning
+    // a cache no caller can release in a long-lived session
     val testPost = post(test, testId, testText, "test")
-    testPost.persist() // reused: key prune + final join
     val testKeys0 = testPost.select(col("s")).distinct()
     // set broadcastTestKeys=false if the benchmark suite's shingle set is
     // too large for executor memory (falls back to a shuffled semi-join)

@@ -89,11 +89,16 @@ object Dedup {
     val docs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
 
-    // shingle-set cache: (id, shingles) reused for signature AND verify
+    // (id, shingles) consumed by the signature path and BOTH verify joins.
+    // Deliberately NOT persisted: an un-released persist() pins executor
+    // storage for the session (a long-lived job chaining dedup stages over
+    // a big corpus can't afford that), and both verify joins shuffle this
+    // same subtree by `id`, so Catalyst's ReusedExchange materializes the
+    // shingle pass ONCE for them — total cost is two narrow scans (bands +
+    // shared verify exchange), with zero cache-lifecycle burden on callers
     val shingled = docs.mapPartitions(_.map { case (id, text) =>
       (id, shingles(Option(text).getOrElse(""), p.shingleSize).toArray)
     }).toDF("id", "sh")
-    shingled.persist()
 
     val sigs = shingled.as[(Long, Array[Long])].mapPartitions(_.map {
       case (id, sh) => DocSig(id, minHashSignature(sh.toSet, p.numHashes), sh.length)
@@ -123,12 +128,17 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .distinct()
 
-    // verify candidates with exact jaccard over cached shingle sets
-    val verifyUdf = udf((a: Seq[Long], b: Seq[Long]) => jaccard(a.toSet, b.toSet))
+    // verify candidates with exact jaccard over the shingle sets; the
+    // arrays are distinct-element, so |A∩B| = size(array_intersect) and
+    // |A∪B| = |A|+|B|-|A∩B| — pure built-in expressions (codegen), no UDF
+    val common = size(array_intersect(col("sh_a"), col("sh_b")))
+    val union = size(col("sh_a")) + size(col("sh_b")) - common
     val out = pairs
       .join(shingled.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(shingled.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("jaccard", verifyUdf(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        when(union === 0, lit(1.0))
+          .otherwise(common.cast("double") / union.cast("double")))
       .where(col("jaccard") >= p.threshold)
       .select("id_a", "id_b", "jaccard")
     out
@@ -182,11 +192,12 @@ object Dedup {
       maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // sigs has exactly ONE consumer (the band explode carries both id and
+    // sig through), so there is nothing to reuse — no persist
     val sigs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) => (id, simHash(t)) })
       .toDF("id", "sig")
-    sigs.persist()
 
     val banded = sigs.as[(Long, Long)].flatMap { case (id, sig) =>
       (0 until 4).iterator.map(c => (c, (sig >>> (c * 16)) & 0xffffL, id, sig))
@@ -204,9 +215,10 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .distinct()
 
-    val hammingUdf = udf((a: Long, b: Long) => hamming(a, b))
+    // hamming distance = bit_count(a XOR b): a codegen built-in, no UDF
     pairs
-      .withColumn("hamming", hammingUdf(col("sig_a"), col("sig_b")))
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
@@ -295,11 +307,16 @@ object Dedup {
     val pr = pairs
       .select(col("id_a").cast("long"), col("id_b").cast("long"))
       .as[(Long, Long)]
-    pr.persist()
-    val nPairs = pr.count()
-    if (nPairs <= driverMaxPairs) {
-      val arr = pr.collect()
-      pr.unpersist()
+    // SINGLE gated fetch instead of count()-then-collect(): take(N+1)
+    // returns every row when fewer than N+1 exist, so one action both
+    // sizes the graph and (under the gate) delivers it. Halves the job
+    // count of the hot path; the limit bounds driver memory exactly as
+    // the count-gate did. Above the gate the fetched prefix is discarded
+    // and the distributed path recomputes from `pairs` — whose expensive
+    // stages are materialized shuffle outputs the scheduler reuses.
+    val gate = math.min(driverMaxPairs, Int.MaxValue.toLong - 1L).toInt
+    val arr = pr.take(gate + 1)
+    if (arr.length <= gate) {
       val parent = new java.util.HashMap[Long, Long]()
       def find(x0: Long): Long = {
         var x = x0
@@ -322,7 +339,7 @@ object Dedup {
     val edges = pr.toDF("id_a", "id_b")
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pr.toDF("id_a", "id_b").select(col("id_b").as("src"), col("id_a").as("dst")))
-    edges.persist()
+    edges.persist() // consumed once per propagation round; released below
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     labels.persist()
@@ -350,8 +367,14 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    pr.unpersist()
-    labels.select(col("id"), col("label").as("keep_id"))
+    // Release the final round's cache too: every round already ran an
+    // aggregate action over `labels`, so its upstream join/agg stages are
+    // materialized shuffle outputs — the caller's action recomputes only
+    // the final reduce from those files, not the iteration. No operator
+    // output pins executor storage after its consuming action.
+    val out = labels.select(col("id"), col("label").as("keep_id"))
+    labels.unpersist()
+    out
   }
 
   /** End-to-end near-duplicate removal: MinHash+LSH pairs → connected-

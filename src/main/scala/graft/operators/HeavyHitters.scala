@@ -108,30 +108,51 @@ object HeavyHitters extends Serializable {
     udaf(new SpaceSaving(capacity)).apply(column)
 
   /** Efficient path: one mutable sketch per partition (narrow pass), then a
-    * LOGARITHMIC merge of the ≤numPartitions tiny sketches via
-    * `treeAggregate` — the shape that scales to 10^12 rows: at 10^5 tasks
-    * a driver-side linear merge would serialize 10^5 sketch unions through
-    * one thread; the tree form merges them on executors in O(log n) rounds
-    * (the mergeable-summaries bound holds for arbitrary merge trees).
+    * LOGARITHMIC merge of the ≤numPartitions tiny sketches in a FIXED
+    * binary tree over partition indices — the shape that scales to 10^12
+    * rows: at 10^5 tasks a driver-side linear merge would serialize 10^5
+    * sketch unions through one thread; the tree form merges them on
+    * executors in O(log n) rounds (the mergeable-summaries bound holds for
+    * arbitrary merge trees).
+    *
+    * DETERMINISM: `treeAggregate` merges partials in task-arrival order,
+    * and `mergeIn` truncates to capacity at every node — borderline items
+    * could differ run-to-run. Here the tree SHAPE and merge ORDER are a
+    * pure function of the partition index (round r merges sketch 2i with
+    * 2i+1, left-to-right), so for a fixed partitioning the output is
+    * bit-stable across runs and schedulers (the bench harness compares
+    * hashed outputs). All rounds chain lazily into one job.
     * Returns (item, count, error) count-descending.
     */
   def heavyHitters(df: DataFrame, column: Column, capacity: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val partials = df.select(column.cast("string")).as[String]
-      .mapPartitions { it =>
-        val b = new Buffer(capacity)
-        it.foreach(s => if (s != null) b.add(s))
-        Iterator.single(b.toSketch)
-      }
     val cap = capacity
+    val partials = df.select(column.cast("string")).as[String]
+      .rdd.mapPartitionsWithIndex { (idx, it) =>
+        val b = new Buffer(cap)
+        it.foreach(s => if (s != null) b.add(s))
+        Iterator.single((idx, b.toSketch))
+      }
     val mergeS: (Sketch, Sketch) => Sketch = (a, b) => {
       val ba = fromSketch(a, cap)
       ba.mergeIn(fromSketch(b, cap))
       ba.toSketch
     }
-    val s = partials.rdd.treeAggregate(
-      Sketch(Seq.empty, Seq.empty, Seq.empty))(mergeS, mergeS)
+    var cur = partials
+    var width = math.max(partials.getNumPartitions, 1)
+    while (width > 1) {
+      val half = (width + 1) / 2
+      cur = cur.map { case (i, s) => (i / 2, (i, s)) }
+        .groupByKey(math.min(half, cur.getNumPartitions))
+        .map { case (k, xs) =>
+          // ≤2 children per node, folded in ascending child order
+          (k, xs.toSeq.sortBy(_._1).map(_._2).reduce(mergeS))
+        }
+      width = half
+    }
+    val s = cur.values.collect().headOption
+      .getOrElse(Sketch(Seq.empty, Seq.empty, Seq.empty))
     val rows = s.items.indices.map(i => HeavyHitter(s.items(i), s.counts(i), s.errors(i)))
     spark.createDataset(rows).toDF()
       .orderBy(org.apache.spark.sql.functions.col("count").desc,

@@ -131,6 +131,17 @@ object Rules {
   /** Set a (possibly dot-nested) field to `v` where `m` holds, preserving
     * the row's value elsewhere — the columnar form of `_set_nested_value`
     * (rules.py:233-244: intermediate levels are created when missing).
+    *
+    * When the path traverses an EXISTING non-struct column (the dict-world
+    * analog: `current[key]` is a string and the next level assignment
+    * raises TypeError), the reference catches the exception and leaves the
+    * context unchanged (rules.py:229-232: `except Exception` → the action
+    * reports success=False, nothing mutates). In a fixed-schema DataFrame
+    * the non-struct type is a schema-level property — the same TypeError
+    * would fire for every row — so the faithful columnar translation is a
+    * whole-action NO-OP, never a partial write (a `when(m, ...)` without
+    * `.otherwise` here would silently null the column for unmatched rows —
+    * data corruption the reference can't produce).
     */
   private def setPath(df: DataFrame, path: String, m: Column, v: Column): DataFrame = {
     import org.apache.spark.sql.types.StructType
@@ -142,18 +153,25 @@ object Rules {
       case k :: more => struct(chain(more).as(k))
     }
 
-    /** update inside an existing struct column */
-    def upd(c: Column, st: StructType, rest: List[String]): Column = rest match {
+    /** update inside an existing struct column; None = the path hit an
+      * existing non-struct intermediate (reference TypeError → no-op)
+      */
+    def upd(c: Column, st: StructType, rest: List[String]): Option[Column] = rest match {
       case last :: Nil =>
         val existing =
           if (st.fieldNames.contains(last)) c.getField(last) else lit(null)
-        c.withField(last, when(m, v).otherwise(existing))
+        Some(c.withField(last, when(m, v).otherwise(existing)))
       case k :: more =>
         st.find(_.name == k).map(_.dataType) match {
-          case Some(child: StructType) => c.withField(k, upd(c.getField(k), child, more))
-          case _ => c.withField(k, when(m, chain(more))) // created level; null where unmatched
+          case Some(child: StructType) =>
+            upd(c.getField(k), child, more).map(c.withField(k, _))
+          case Some(_) => None // existing non-struct level: TypeError analog
+          case None    =>
+            // missing key: created level — the field did not exist, so null
+            // where unmatched is exactly "key still absent"
+            Some(c.withField(k, when(m, chain(more))))
         }
-      case Nil => c
+      case Nil => Some(c)
     }
 
     parts match {
@@ -170,9 +188,10 @@ object Rules {
             // schema columnar analog of the reference's dict context)
             val nullStruct = struct(
               st.fields.toSeq.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
-            df.withColumn(head, upd(coalesce(col(head), nullStruct), st, rest))
-          case _ => // non-struct head is replaced by the created chain (dict overwrite)
-            df.withColumn(head, when(m, chain(rest)))
+            upd(coalesce(col(head), nullStruct), st, rest)
+              .map(df.withColumn(head, _))
+              .getOrElse(df) // non-struct intermediate inside: no-op
+          case _ => df // existing non-struct head: TypeError analog — no-op
         }
       case head :: rest =>
         df.withColumn(head, when(m, chain(rest)))

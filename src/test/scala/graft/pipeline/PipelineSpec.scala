@@ -231,6 +231,38 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run4.map(_.partId).sorted == (0 until numBuckets))
   }
 
+  test("checkpoint: stale bucket recomputed to ZERO rows deletes its old data dir") {
+    import org.apache.spark.sql.functions.{col, hash, pmod, lit}
+    val outDir = Files.createTempDirectory("graft-ckpt-zero").toString
+    val ds = TranscriptGen.dataset(spark, 20)
+    val numBuckets = 4
+
+    val run1 = Checkpoint.run(ds, outDir, numBuckets, runId = "r1",
+      groupSize = 4, configHash = "v1")
+    assert(run1.map(_.partId).sorted == (0 until numBuckets))
+
+    // find a bucket and drop every conversation that lands in it, then
+    // recompute under a new config hash: the bucket's new result is 0 rows
+    val victim = 1
+    import spark.implicits._
+    val filtered = ds.where(
+      pmod(hash(col("conv_id")), lit(numBuckets)) =!= victim).as[Turn]
+    assert(filtered.count() < ds.count(), "victim bucket must be non-empty")
+
+    val run2 = Checkpoint.run(filtered, outDir, numBuckets, runId = "r2",
+      groupSize = 4, configHash = "v2")
+    assert(run2.map(_.partId).sorted == (0 until numBuckets))
+    val m = Checkpoint.readManifest(outDir, victim).get
+    assert(m.rows == 0L && m.runId == "r2")
+    // the stale parquet from r1 must be GONE — dynamic partition overwrite
+    // never touches a partition the new job wrote no rows for
+    assert(!Files.exists(Paths.get(outDir, "data", s"part_id=$victim")),
+      "zero-row recomputed bucket must have its old data directory deleted")
+    assert(m.bytes == 0L)
+    // readResult serves exactly the filtered input, no stale rows
+    assert(Checkpoint.readResult(spark, outDir, numBuckets).count() == filtered.count())
+  }
+
   test("partition-count invariance: same output at 2 and 16 input partitions") {
     val a = ExtractionJob.extract(TranscriptGen.dataset(spark, 15, partitions = 2)).collect()
     val b = ExtractionJob.extract(TranscriptGen.dataset(spark, 15, partitions = 16)).collect()
