@@ -366,6 +366,52 @@ object SparkEntry {
           round(max(col("dpf")), 4).as("max_dpf"))
     }),
 
+    // ---- composed multi-step workflow with conditional branching ----
+    // process -> extract_fields -> validate_data -> conditional routing
+    // (workflows.py:139-208 dispatch; nested conditional in the false arm)
+    "q27_workflow" -> ((s, dir) => {
+      import org.apache.spark.sql.Column
+      import graft.operators.{Fallback, Workflow}
+      val wf = Seq(
+        Workflow.Process("ocr",
+          Fallback.Engine("local", identity, Fallback.contentScore), "text"),
+        Workflow.ExtractFields("extract", "text", Seq(
+          "customer_word" -> ((t: Column) => regexp_extract(t, "customer ([a-z]+)", 1)),
+          "spark_word" -> ((t: Column) => regexp_extract(t, "spark ([a-z]+)", 1)))),
+        Workflow.ValidateData("validate", Seq("customer_word", "spark_word")),
+        Workflow.Conditional("route", col("validation_ok"),
+          ifTrue = Seq(Workflow.SetOutput("to_processed", "destination",
+            concat(lit("processed/"), col("lang")))),
+          ifFalse = Seq(Workflow.Conditional("retry", col("ocr_quality") >= 1.0,
+            ifTrue = Seq(Workflow.SetOutput("to_retry", "destination", lit("retry_cloud"))),
+            ifFalse = Seq(Workflow.SetOutput("to_failed", "destination", lit("failed")))))))
+      Workflow.run(t(s, dir, "documents"), wf)
+        .groupBy(col("destination"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(min(col("ocr_quality")), 4).as("min_q"),
+          sum(when(col("validation_ok"), 1).otherwise(0)).cast("long").as("n_valid"))
+        .orderBy(col("destination"))
+    }),
+
+    // ---- parallel multi-engine best-of-N (argmax-quality selection) ----
+    "q28_best_of_n" -> ((s, dir) => {
+      import graft.operators.{Fallback, TextAnalysis => TA}
+      val engines = Seq(
+        Fallback.Engine("local", identity, Fallback.contentScore),
+        Fallback.Engine("cloud", identity,
+          t => least(lit(1.0), Fallback.contentScore(t) * lit(1.3))),
+        Fallback.Engine("azure", identity,
+          t => least(lit(1.0), TA.tokenCount(t) / lit(50.0))))
+      Fallback.bestOfN(t(s, dir, "documents"), "text", engines)
+        .groupBy(col("engine"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(min(col("quality")), 4).as("min_q"),
+          round(max(col("quality")), 4).as("max_q"))
+        .orderBy(col("engine"))
+    }),
+
     // ================= rows-only checks (not SQL-expressible) ============
     // extraction pipeline per-turn output (verified vs reference goldens in
     // sbt test; DuckDB cannot replicate the CPython-semantics kernel)
@@ -782,6 +828,48 @@ object SparkEntry {
          |SELECT route, engine, count(*) AS n,
          |  round(min(quality), 4) AS min_q, round(max(quality), 4) AS max_q
          |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    "q27_workflow" -> {
+      val cs = graft.operators.Fallback.contentScoreSql("text")
+      s"""WITH s AS (
+         |  SELECT lang, coalesce($cs, 0.0) AS ocr_quality,
+         |    regexp_extract(text, 'customer ([a-z]+)', 1) AS customer_word,
+         |    regexp_extract(text, 'spark ([a-z]+)', 1) AS spark_word
+         |  FROM documents),
+         |v AS (
+         |  SELECT lang, ocr_quality,
+         |    (customer_word IS NOT NULL AND customer_word <> ''
+         |     AND spark_word IS NOT NULL AND spark_word <> '') AS validation_ok
+         |  FROM s),
+         |r AS (
+         |  SELECT ocr_quality, validation_ok,
+         |    CASE WHEN validation_ok THEN 'processed/' || lang
+         |         WHEN ocr_quality >= 1.0 THEN 'retry_cloud'
+         |         ELSE 'failed' END AS destination
+         |  FROM v)
+         |SELECT destination, count(*) AS n, round(min(ocr_quality), 4) AS min_q,
+         |  CAST(sum(CASE WHEN validation_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q28_best_of_n" -> {
+      val cs = graft.operators.Fallback.contentScoreSql("text")
+      val ql = s"coalesce($cs, 0.0)"
+      val qc = s"coalesce(least(1.0, $cs * 1.3), 0.0)"
+      val qa = "coalesce(least(1.0, len(regexp_split_to_array(trim(lower(text)), '\\s+')) / 50.0), 0.0)"
+      s"""WITH s AS (
+         |  SELECT $ql AS q_local, $qc AS q_cloud, $qa AS q_azure FROM documents),
+         |w AS (
+         |  SELECT
+         |    CASE WHEN q_azure > greatest(q_local, q_cloud) THEN 'azure'
+         |         WHEN q_cloud > q_local THEN 'cloud'
+         |         ELSE 'local' END AS engine,
+         |    greatest(q_local, q_cloud, q_azure) AS quality
+         |  FROM s)
+         |SELECT engine, count(*) AS n,
+         |  round(min(quality), 4) AS min_q, round(max(quality), 4) AS max_q
+         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     "q16_ann_topk" ->

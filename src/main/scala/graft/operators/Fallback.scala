@@ -101,6 +101,60 @@ object Fallback {
     kept.unionByName(fallback).drop("__t1", "__q1")
   }
 
+  /** Parallel multi-engine best-of-N (multi_engine.py:222-280): the
+    * reference runs ≤3 engines concurrently in a thread pool and argmaxes
+    * quality over the results (`_select_best_result`, :308-326). The
+    * columnar analog evaluates EVERY engine in one projection over one
+    * scan — "parallel" is the executor's SIMD/pipeline parallelism, not
+    * threads — and selects per row with a greatest-of-structs fold.
+    *
+    * Tie-break: strictly-greater updates, so the EARLIEST engine in list
+    * order wins ties — the deterministic form of the reference's stable
+    * sort over its results dict (:325-326: `sort(reverse=True)` keeps
+    * insertion order among equal scores and takes the first).
+    *
+    * Output adds `result_text`, `quality`, `engine` (same contract as
+    * [[onePass]]/[[twoPass]], minus `route`, which is a fallback concept).
+    */
+  def bestOfN(df: DataFrame, textCol: String, engines: Seq[Engine]): DataFrame = {
+    require(engines.nonEmpty, "bestOfN needs at least one engine")
+    val scored = engines.map { e =>
+      val t = e.result(col(textCol))
+      (e.name, t, coalesce(e.quality(t), lit(0.0)))
+    }
+    val (n0, t0, q0) = scored.head
+    val (bn, bt, bq) = scored.tail.foldLeft((lit(n0), t0, q0)) {
+      case ((accN, accT, accQ), (n, t, q)) =>
+        (when(q > accQ, lit(n)).otherwise(accN),
+          when(q > accQ, t).otherwise(accT),
+          when(q > accQ, q).otherwise(accQ))
+    }
+    df.withColumn("result_text", bt)
+      .withColumn("quality", bq)
+      .withColumn("engine", bn)
+  }
+
+  /** Historical-quality engine ordering (multi_engine.py:282-306):
+    * preferred engines first (in their given order), then the rest sorted
+    * by average historical quality DESCENDING (ties by name for
+    * determinism; the reference's key is the running average in
+    * `_get_engine_average_quality`). `history` is any (engine, quality)
+    * log — e.g. the output of previous [[bestOfN]]/[[twoPass]] runs — and
+    * the aggregate collects exactly one tiny row per engine.
+    */
+  def orderByHistory(
+      engines: Seq[Engine], history: DataFrame,
+      engineCol: String = "engine", qualityCol: String = "quality",
+      preferred: Seq[String] = Seq.empty): Seq[Engine] = {
+    val avgQ = history
+      .groupBy(col(engineCol).cast("string").as("e"))
+      .agg(avg(col(qualityCol)).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val (pref, rest) = engines.partition(e => preferred.contains(e.name))
+    pref.sortBy(e => preferred.indexOf(e.name)) ++
+      rest.sortBy(e => (-avgQ.getOrElse(e.name, 0.0), e.name))
+  }
+
   /** The reference's content-quality component (multi_engine.py:44-50):
     * min(1, (words + chars/10) / 100) — a pure function of the produced
     * text, used as the default engine quality scorer.

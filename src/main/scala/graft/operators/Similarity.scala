@@ -237,6 +237,13 @@ object Similarity {
     * near-dup targets (cos ≥ 0.9) a few planes retrieve with tiny candidate
     * sets; for mid-similarity top-k use more tables. Measured vs
     * `cosineTopK` in tests.
+    *
+    * This form re-hashes every vector per query (one full scan) — the
+    * correctness baseline for ad-hoc, index-less search. For repeated
+    * queries at scale use [[buildLshIndex]] + [[lshTopKIndexed]]: the
+    * signatures are computed ONCE and persisted partitioned by
+    * (table, bucket), so each query reads only its ≤ `tables` buckets
+    * (partition pruning) instead of scanning the corpus.
     */
   def lshTopK(
       df: DataFrame, idCol: String, vecCol: String,
@@ -263,6 +270,75 @@ object Similarity {
     }
     df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .where(candUdf(col("v")))
+      .select(col("id"),
+        graft.functions.VectorFunctions.cosineConst(col("v"), query).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
+  // ---------- materialized LSH index (the 100-TB query path) ----------
+
+  /** Build the MATERIALIZED multi-table LSH index: one membership row per
+    * (vector, table) — columns (id, table, bucket, v). One narrow pass
+    * (broadcast planes, mapPartitions, no shuffle); storage is ×`tables`,
+    * the standard multi-table LSH trade. Mirrors the reference's persisted
+    * embedding index (semantic_search.py:137-170: embeddings computed once
+    * into search_manager tables, not per query).
+    *
+    * Write it with [[writeLshIndex]] (partitioned by table/bucket); a
+    * query then reads ≤ `tables` bucket directories instead of the corpus.
+    * Plane construction is identical to [[lshTopK]] (same seed schedule),
+    * so indexed and scan results match exactly.
+    */
+  def buildLshIndex(
+      df: DataFrame, idCol: String, vecCol: String,
+      tables: Int = 8, planesPerTable: Int = 4, seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val allPlanes: Array[Array[Array[Double]]] =
+      Array.tabulate(tables)(t => randomPlanes(planesPerTable, dim, seed + t * 7919L))
+    val bp = spark.sparkContext.broadcast(allPlanes)
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val ps = bp.value
+        it.flatMap { case (id, v) =>
+          val arr = v.toArray
+          ps.indices.iterator.map(t => (id, t, bucketOf(arr, ps(t)), arr))
+        }
+      }
+      .toDF("id", "table", "bucket", "v")
+  }
+
+  /** Persist the index partitioned by (table, bucket): the physical layout
+    * that turns a query's bucket list into partition pruning.
+    */
+  def writeLshIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
+
+  /** Approximate top-k over a materialized index (from [[buildLshIndex]],
+    * typically read back from [[writeLshIndex]]'s layout): the candidate
+    * test is a constant predicate over the PARTITION columns — an
+    * OR-of-(table=t AND bucket=b_t) with one conjunct per table — so a
+    * parquet-backed index scans only the query's ≤ `tables` bucket
+    * directories (partition pruning; plan-guarded in tests), replacing
+    * [[lshTopK]]'s per-query full-scan rehash. Results are IDENTICAL to
+    * `lshTopK` with the same (tables, planesPerTable, seed): same
+    * candidate membership, same scoring expression, same tie-break.
+    */
+  def lshTopKIndexed(
+      index: DataFrame, query: Array[Float], k: Int,
+      tables: Int = 8, planesPerTable: Int = 4, seed: Long = 42L): DataFrame = {
+    val qBuckets = Array.tabulate(tables) { t =>
+      bucketOf(query, randomPlanes(planesPerTable, query.length, seed + t * 7919L))
+    }
+    val pred = qBuckets.zipWithIndex
+      .map { case (b, t) => col("table") === t && col("bucket") === b }
+      .reduce(_ || _)
+    index
+      .where(pred)
+      .dropDuplicates("id") // a vector can share the query's bucket in several tables
       .select(col("id"),
         graft.functions.VectorFunctions.cosineConst(col("v"), query).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))

@@ -157,6 +157,154 @@ class Operators3Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.nonEmpty && a.size <= 24)
   }
 
+  // ---------- materialized LSH index ----------
+
+  test("materialized LSH index: results identical to the scan form; queries prune partitions") {
+    val sp = spark; import sp.implicits._
+    val emb = vecs.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+    val q = vecs(7)._2
+
+    val viaScan = Similarity.lshTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val idx = Similarity.buildLshIndex(emb, "vec_id", "embedding")
+    val viaIndex = Similarity.lshTopKIndexed(idx, q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIndex == viaScan,
+      "same planes/seed => identical candidates, scores and tie-breaks")
+
+    // persisted layout: one file per (table, bucket) dir, then prove the
+    // query reads ONLY its bucket directories
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshidx").toString
+    Similarity.writeLshIndex(idx.repartition(1), dir)
+    val disk = sp.read.parquet(dir)
+    val viaDisk = Similarity.lshTopKIndexed(disk, q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaDisk == viaScan)
+
+    val tables = 8
+    val qBuckets = Array.tabulate(tables) { t =>
+      Similarity.bucketOf(q, Similarity.randomPlanes(4, q.length, 42L + t * 7919L))
+    }
+    val pred = qBuckets.zipWithIndex
+      .map { case (b, t) => col("table") === t && col("bucket") === b }
+      .reduce(_ || _)
+    val filtered = disk.where(pred)
+    filtered.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case other => other.collect { case f: FileSourceScanExec => f }.toSeq
+    }
+    val scan = scans(filtered.queryExecution.executedPlan).head
+    val numFilesRead = scan.metrics("numFiles").value
+    val totalDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => p.getFileName.toString.startsWith("bucket="))
+      .count()
+    assert(totalDirs > tables.toLong,
+      s"index must span more bucket dirs ($totalDirs) than one query touches")
+    assert(numFilesRead <= tables.toLong,
+      s"query must read <= $tables bucket files, read $numFilesRead of $totalDirs")
+    assert(scan.toString.contains("PartitionFilters: [") &&
+      !scan.toString.matches("(?s).*PartitionFilters: \\[\\].*"),
+      "the bucket predicate must be a partition filter, not a post-scan filter")
+  }
+
+  // ---------- workflow action chains ----------
+
+  test("workflow: process -> extract -> validate -> conditional routing, per-row branches") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.Column
+    val df = Seq(
+      (1L, "invoice customer acme total 100"), // both fields present -> valid
+      (2L, "customer zeta only"),              // missing 'total' field -> invalid
+      (3L, "no markers at all here"),          // nothing extracts -> invalid
+      (4L, "total 55 customer beta")).toDF("id", "text")
+
+    val wf = Seq(
+      Workflow.Process("ocr",
+        Fallback.Engine("local", identity, Fallback.contentScore), "text"),
+      Workflow.ExtractFields("extract", "text", Seq(
+        "customer" -> ((t: Column) => regexp_extract(t, "customer ([a-z]+)", 1)),
+        "total" -> ((t: Column) => regexp_extract(t, "total ([0-9]+)", 1)))),
+      Workflow.ValidateData("validate", Seq("customer", "total")),
+      Workflow.Conditional("route", col("validation_ok"),
+        ifTrue = Seq(Workflow.SetOutput("ok", "destination", lit("processed"))),
+        ifFalse = Seq(Workflow.Conditional("salvage",
+          col("extracted_fields.customer") =!= "",
+          ifTrue = Seq(Workflow.SetOutput("partial", "destination", lit("review"))),
+          ifFalse = Seq(Workflow.SetOutput("dead", "destination", lit("failed")))))))
+
+    val out = Workflow.run(df, wf, auditCol = Some("steps"))
+      .select("id", "extracted_fields.customer", "extracted_fields.total",
+        "validation_ok", "destination", "steps")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getBoolean(3), r.getString(4), r.getSeq[String](5))).sortBy(_._1)
+
+    assert(out.map(r => (r._1, r._2, r._3, r._4, r._5)).toSeq == Seq(
+      (1L, "acme", "100", true, "processed"),
+      (2L, "zeta", "", false, "review"),
+      (3L, "", "", false, "failed"),
+      (4L, "beta", "55", true, "processed")))
+    // audit: every row ran the shared prefix; branch steps only where taken
+    assert(out(0)._6 == Seq("ocr", "extract", "validate", "route", "ok"))
+    assert(out(1)._6 == Seq("ocr", "extract", "validate", "route", "salvage", "partial"))
+    assert(out(2)._6 == Seq("ocr", "extract", "validate", "route", "salvage", "dead"))
+    // a later step reads an EARLIER step's output: validate consumed the
+    // extract struct, route consumed validate — already proven by routing
+  }
+
+  test("workflow plan: whole chain is one scan, zero exchanges before the sink") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.Column
+    val df = Seq((1L, "customer a total 2")).toDF("id", "text")
+    val wf = Seq(
+      Workflow.ExtractFields("e", "text", Seq(
+        "c" -> ((t: Column) => regexp_extract(t, "customer ([a-z]+)", 1)))),
+      Workflow.ValidateData("v", Seq("c"), in = "extracted_fields"),
+      Workflow.Conditional("r", col("validation_ok"),
+        Seq(Workflow.SetOutput("s1", "destination", lit("ok"))),
+        Seq(Workflow.SetOutput("s2", "destination", lit("no")))))
+    val plan = Workflow.run(df, wf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"workflow must compile to one narrow projection, got:\n$plan")
+  }
+
+  // ---------- multi-engine best-of-N ----------
+
+  test("bestOfN: argmax quality with first-in-order tie-break (reference _select_best_result)") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.Column
+    // qualities are driven by the text so each row exercises a different winner
+    val df = Seq(
+      (1L, "short"),                        // a=0.2, b=0.5, c=0.9 -> c
+      (2L, "tie"),                          // a=0.7, b=0.7 (tie) -> a (earlier)
+      (3L, "blank")).toDF("id", "text")     // all equal 0.1 -> a
+    def engine(name: String, f: Column => Column) =
+      Fallback.Engine(name, identity, f)
+    val a = engine("a", t => when(t === "short", 0.2).when(t === "tie", 0.7).otherwise(0.1))
+    val b = engine("b", t => when(t === "short", 0.5).when(t === "tie", 0.7).otherwise(0.1))
+    val c = engine("c", t => when(t === "short", 0.9).otherwise(0.1))
+    val got = Fallback.bestOfN(df, "text", Seq(a, b, c))
+      .select("id", "engine", "quality")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "c", 0.9), (2L, "a", 0.7), (3L, "a", 0.1)))
+  }
+
+  test("orderByHistory: preferred first, then average historical quality desc") {
+    val sp = spark; import sp.implicits._
+    val history = Seq(
+      ("a", 0.2), ("a", 0.4),   // avg 0.3
+      ("b", 0.9), ("b", 0.7),   // avg 0.8
+      ("c", 0.5)).toDF("engine", "quality")
+    def e(n: String) = Fallback.Engine(n, identity, _ => lit(0.0))
+    val engines = Seq(e("a"), e("b"), e("c"), e("d")) // d: no history -> 0.0
+    val ordered = Fallback.orderByHistory(engines, history).map(_.name)
+    assert(ordered == Seq("b", "c", "a", "d"))
+    val withPref = Fallback.orderByHistory(engines, history, preferred = Seq("d", "a")).map(_.name)
+    assert(withPref == Seq("d", "a", "b", "c"))
+  }
+
   // ---------- de-UDF parity ----------
 
   test("native hamming/jaccard expressions match the scala definitions") {
