@@ -305,6 +305,29 @@ class Operators3Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(withPref == Seq("d", "a", "b", "c"))
   }
 
+  // ---------- x19 fast path equality ----------
+
+  test("topNgramCharFractions234 is output-identical to the per-n general path") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Array("the", "cat", "sat", "on", "mat", "a", "big", "dog",
+      "ran", "très", "日本", "x")
+    val docs = Seq(
+      "", " ", "one", "a a", "a a a a a a", "the cat the cat the cat",
+      "tie tie kip kip", // two bigrams with equal counts -> lexicographic min
+      "日本 日本 日本 cat", "a  b\t c \n a  b") ++
+      (0 until 200).map { _ =>
+        (0 until rnd.nextInt(120)).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      } ++
+      // fallback path: more than 2^16 distinct tokens
+      Seq((0 until 70000).map(i => s"w$i").mkString(" ") + " w0 w1 w0 w1")
+    docs.foreach { d =>
+      val (f2, f3, f4) = TextAnalysis.topNgramCharFractions234(d)
+      assert(f2 == TextAnalysis.topNgramCharFraction(d, 2), s"n=2 for ${d.take(40)}")
+      assert(f3 == TextAnalysis.topNgramCharFraction(d, 3), s"n=3 for ${d.take(40)}")
+      assert(f4 == TextAnalysis.topNgramCharFraction(d, 4), s"n=4 for ${d.take(40)}")
+    }
+  }
+
   // ---------- de-UDF parity ----------
 
   test("native hamming/jaccard expressions match the scala definitions") {
