@@ -1,0 +1,223 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.security.MessageDigest
+
+import scala.jdk.CollectionConverters._
+
+/** Backup/restore of a [[Checkpoint]] output store — the engine-shaped
+  * analog of the reference's backup manager
+  * (/root/reference/src/mcp/backup_manager.py): full backups archive the
+  * whole store (:281-341), incremental backups take only what changed
+  * since the last completed backup for the same source (:342-417), every
+  * file carries an md5 (:166-177), restore extracts a named backup into a
+  * target path (:659-691) — here with integrity VALIDATION (hash + parse +
+  * completeness) instead of blind extraction, and retention cleanup
+  * (:523-555).
+  *
+  * Scale shape: all metadata decisions are made from the tiny per-bucket
+  * manifests; file bytes are streamed copy+hash. The store layout
+  * (bucket-granular manifests committed atomically) means an incremental
+  * backup is "buckets committed after the last backup's watermark" — no
+  * file-tree diffing. On a real deployment the copy target would be an
+  * object store; the NIO seam matches the rest of the Checkpoint tier.
+  */
+object Backup {
+
+  final case class BackupFile(relPath: String, md5: String, bytes: Long)
+
+  final case class BackupManifest(
+      backupId: String,
+      sourceDir: String,
+      mode: String, // "full" | "incremental"
+      createdAtEpochMs: Long,
+      watermarkEpochMs: Long, // latest bucket commit included
+      buckets: Seq[Int],
+      files: Seq[BackupFile])
+
+  final case class RestoreReport(
+      backupId: String,
+      filesRestored: Int,
+      bytesRestored: Long,
+      corruptFiles: Seq[String], // md5 mismatches (restore is aborted)
+      ok: Boolean)
+
+  private def md5Of(p: Path): String = {
+    val md = MessageDigest.getInstance("MD5")
+    val in = Files.newInputStream(p)
+    try {
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def manifestJson(m: BackupManifest): String = {
+    val files = m.files.map(f =>
+      s"""{"relPath":"${esc(f.relPath)}","md5":"${f.md5}","bytes":${f.bytes}}""")
+      .mkString("[", ",", "]")
+    s"""{"backupId":"${esc(m.backupId)}","sourceDir":"${esc(m.sourceDir)}",""" +
+      s""""mode":"${m.mode}","createdAtEpochMs":${m.createdAtEpochMs},""" +
+      s""""watermarkEpochMs":${m.watermarkEpochMs},""" +
+      s""""buckets":${m.buckets.mkString("[", ",", "]")},"files":$files}"""
+  }
+
+  def readBackupManifest(backupDir: String, backupId: String): Option[BackupManifest] = {
+    val p = Paths.get(backupDir, backupId, "backup.json")
+    if (!Files.exists(p)) return None
+    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    import org.json4s._
+    val j = org.json4s.jackson.JsonMethods.parse(s)
+    def str(v: JValue): String = v match { case JString(x) => x; case _ => "" }
+    def lng(v: JValue): Long = v match {
+      case JInt(i) => i.toLong; case JLong(i) => i; case _ => 0L
+    }
+    val files = (j \ "files") match {
+      case JArray(xs) => xs.map(f =>
+        BackupFile(str(f \ "relPath"), str(f \ "md5"), lng(f \ "bytes")))
+      case _ => Nil
+    }
+    val buckets = (j \ "buckets") match {
+      case JArray(xs) => xs.map(lng(_).toInt)
+      case _ => Nil
+    }
+    Some(BackupManifest(str(j \ "backupId"), str(j \ "sourceDir"),
+      str(j \ "mode"), lng(j \ "createdAtEpochMs"), lng(j \ "watermarkEpochMs"),
+      buckets, files))
+  }
+
+  def listBackups(backupDir: String): Seq[BackupManifest] = {
+    val root = Paths.get(backupDir)
+    if (!Files.exists(root)) return Seq.empty
+    Files.list(root).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .flatMap(d => readBackupManifest(backupDir, d.getFileName.toString))
+      .toSeq.sortBy(_.createdAtEpochMs)
+  }
+
+  /** Latest completed backup watermark for this source (the reference's
+    * `MAX(completed_at) ... WHERE source_path = ?`, :349-353).
+    */
+  private def lastWatermark(backupDir: String, sourceDir: String): Option[Long] =
+    listBackups(backupDir).filter(_.sourceDir == sourceDir)
+      .map(_.watermarkEpochMs).maxOption
+
+  /** Create a backup of the checkpoint store at `outDir`.
+    *
+    * `incremental = true` includes only buckets whose manifest commit time
+    * is STRICTLY after the last completed backup's watermark; with no
+    * prior backup it degrades to a full backup (backup_manager.py:355-358
+    * "Primeiro backup - executando backup completo"). The backup manifest
+    * is written LAST via atomic rename — a crashed backup leaves no
+    * manifest and is invisible to [[listBackups]]/restore, the same
+    * commit discipline as the checkpoint store itself.
+    *
+    * Returns the manifest (empty `buckets` = nothing new to back up; no
+    * backup directory is committed in that case).
+    */
+  def backup(
+      outDir: String, numBuckets: Int, backupDir: String, backupId: String,
+      incremental: Boolean = false,
+      nowMs: Long = System.currentTimeMillis()): BackupManifest = {
+    val wm = if (incremental) lastWatermark(backupDir, outDir).getOrElse(Long.MinValue)
+    else Long.MinValue
+    val selected = (0 until numBuckets).flatMap { k =>
+      Checkpoint.readManifest(outDir, k)
+        .filter(_.committedAtEpochMs > wm).map(m => (k, m))
+    }
+    val newWm = (selected.map(_._2.committedAtEpochMs) :+
+      (if (wm == Long.MinValue) 0L else wm)).max
+
+    val stage = Paths.get(backupDir, s".$backupId.tmp")
+    if (Files.exists(stage)) deleteTree(stage)
+    Files.createDirectories(stage.resolve("files"))
+    val src = Paths.get(outDir)
+    val files = scala.collection.mutable.ListBuffer.empty[BackupFile]
+    selected.foreach { case (k, _) =>
+      // each bucket = its manifest file + its data directory
+      val parts = Seq(
+        Paths.get(outDir, "manifests", s"part-$k.json"),
+        Paths.get(outDir, "data", s"part_id=$k"))
+      parts.filter(Files.exists(_)).foreach { p =>
+        val walk = if (Files.isDirectory(p))
+          Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+        else Seq(p)
+        walk.foreach { f =>
+          val rel = src.relativize(f).toString
+          val dst = stage.resolve("files").resolve(rel)
+          Files.createDirectories(dst.getParent)
+          Files.copy(f, dst, StandardCopyOption.REPLACE_EXISTING)
+          files += BackupFile(rel, md5Of(dst), Files.size(dst))
+        }
+      }
+    }
+    val manifest = BackupManifest(backupId, outDir,
+      if (incremental) "incremental" else "full",
+      nowMs, newWm, selected.map(_._1), files.toSeq)
+    if (selected.isEmpty) { deleteTree(stage); return manifest }
+    Files.write(stage.resolve("backup.json"),
+      manifestJson(manifest).getBytes(StandardCharsets.UTF_8))
+    val finalDir = Paths.get(backupDir, backupId)
+    if (Files.exists(finalDir)) deleteTree(finalDir)
+    Files.move(stage, finalDir, StandardCopyOption.ATOMIC_MOVE)
+    manifest
+  }
+
+  /** Restore a backup into `targetDir` (a checkpoint-store layout usable
+    * by [[Checkpoint.readResult]]). Every file is hash-VALIDATED against
+    * the backup manifest before any byte lands in the target; a corrupt
+    * backup restores nothing (all-or-nothing, unlike the reference's
+    * blind extractall — its validation gap, closed here).
+    */
+  def restore(backupDir: String, backupId: String, targetDir: String): RestoreReport = {
+    val m = readBackupManifest(backupDir, backupId).getOrElse(
+      return RestoreReport(backupId, 0, 0L, Seq("backup.json missing"), ok = false))
+    val filesRoot = Paths.get(backupDir, backupId, "files")
+    val corrupt = m.files.filter { f =>
+      val p = filesRoot.resolve(f.relPath)
+      !Files.exists(p) || Files.size(p) != f.bytes || md5Of(p) != f.md5
+    }.map(_.relPath)
+    if (corrupt.nonEmpty) return RestoreReport(backupId, 0, 0L, corrupt, ok = false)
+    // a bucket is the atomic unit: restoring it REPLACES its data dir and
+    // manifest (layering an incremental over a full must not merge two
+    // generations' part files into one directory)
+    m.buckets.foreach { k =>
+      deleteTree(Paths.get(targetDir, "data", s"part_id=$k"))
+      Files.deleteIfExists(Paths.get(targetDir, "manifests", s"part-$k.json"))
+    }
+    var bytes = 0L
+    m.files.foreach { f =>
+      val dst = Paths.get(targetDir, f.relPath)
+      Files.createDirectories(dst.getParent)
+      Files.copy(filesRoot.resolve(f.relPath), dst, StandardCopyOption.REPLACE_EXISTING)
+      bytes += f.bytes
+    }
+    RestoreReport(backupId, m.files.size, bytes, Seq.empty, ok = true)
+  }
+
+  /** Retention cleanup (backup_manager.py:523-555): delete backups older
+    * than `retentionMs`, always keeping at least the most recent one.
+    * Returns the deleted backup ids.
+    */
+  def cleanupOldBackups(
+      backupDir: String, retentionMs: Long,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    val all = listBackups(backupDir)
+    if (all.isEmpty) return Seq.empty
+    val keepNewest = all.last.backupId
+    val doomed = all.filter(m =>
+      m.backupId != keepNewest && (nowMs - m.createdAtEpochMs) > retentionMs)
+    doomed.foreach(m => deleteTree(Paths.get(backupDir, m.backupId)))
+    doomed.map(_.backupId)
+  }
+
+  private def deleteTree(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+}

@@ -263,6 +263,60 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Checkpoint.readResult(spark, outDir, numBuckets).count() == filtered.count())
   }
 
+  test("backup/restore: full + incremental watermarks, hash validation, retention") {
+    val outDir = Files.createTempDirectory("graft-bk-src").toString
+    val backupDir = Files.createTempDirectory("graft-bk-dst").toString
+    val ds = TranscriptGen.dataset(spark, 30)
+    val numBuckets = 8
+    Checkpoint.run(ds, outDir, numBuckets, runId = "r1", groupSize = 4)
+    val total = TranscriptGen.totalTurns(30)
+
+    // full backup captures every bucket
+    val b1 = Backup.backup(outDir, numBuckets, backupDir, "b1")
+    assert(b1.mode == "full" && b1.buckets.sorted == (0 until numBuckets))
+    assert(b1.files.nonEmpty && Backup.readBackupManifest(backupDir, "b1").isDefined)
+
+    // nothing changed: incremental is empty and commits NO backup dir
+    val b2 = Backup.backup(outDir, numBuckets, backupDir, "b2", incremental = true)
+    assert(b2.buckets.isEmpty && Backup.readBackupManifest(backupDir, "b2").isEmpty)
+
+    // recommit two buckets, then incremental picks up exactly those
+    Thread.sleep(5)
+    Seq(2, 5).foreach(k => Files.delete(Paths.get(outDir, "manifests", s"part-$k.json")))
+    Checkpoint.run(ds, outDir, numBuckets, runId = "r2", groupSize = 4)
+    val b3 = Backup.backup(outDir, numBuckets, backupDir, "b3", incremental = true)
+    assert(b3.mode == "incremental" && b3.buckets.sorted == Seq(2, 5))
+
+    // restore full, then layer the incremental: bucket dirs are REPLACED,
+    // and the restored store reads back complete and exact
+    val restoreDir = Files.createTempDirectory("graft-bk-restore").toString
+    val r1 = Backup.restore(backupDir, "b1", restoreDir)
+    assert(r1.ok && r1.filesRestored == b1.files.size)
+    val r3 = Backup.restore(backupDir, "b3", restoreDir)
+    assert(r3.ok)
+    assert(Checkpoint.readResult(spark, restoreDir, numBuckets).count() == total)
+    assert(Checkpoint.readManifest(restoreDir, 2).get.runId == "r2")
+    assert(Checkpoint.readManifest(restoreDir, 0).get.runId == "r1")
+
+    // corruption: flip a byte in a backed-up data file -> restore refuses
+    // to write ANYTHING
+    val victim = Paths.get(backupDir, "b1", "files",
+      b1.files.find(_.relPath.contains("part_id=")).get.relPath)
+    val bytes = Files.readAllBytes(victim)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x7f).toByte
+    Files.write(victim, bytes)
+    val badDir = Files.createTempDirectory("graft-bk-bad").toString
+    val rBad = Backup.restore(backupDir, "b1", badDir)
+    assert(!rBad.ok && rBad.corruptFiles.nonEmpty && rBad.filesRestored == 0)
+    assert(!Files.exists(Paths.get(badDir, "data")), "corrupt restore must write nothing")
+
+    // retention: everything past the window is deleted except the newest
+    val deleted = Backup.cleanupOldBackups(backupDir, retentionMs = 0L,
+      nowMs = System.currentTimeMillis() + 100000)
+    assert(deleted == Seq("b1"))
+    assert(Backup.listBackups(backupDir).map(_.backupId) == Seq("b3"))
+  }
+
   test("partition-count invariance: same output at 2 and 16 input partitions") {
     val a = ExtractionJob.extract(TranscriptGen.dataset(spark, 15, partitions = 2)).collect()
     val b = ExtractionJob.extract(TranscriptGen.dataset(spark, 15, partitions = 16)).collect()
