@@ -453,6 +453,15 @@ object SparkEntry {
         .select(col("embedding")).first().getSeq[Float](0).toArray
       Similarity.lshTopK(emb, "vec_id", "embedding", q, 10)
     }),
+    // MATERIALIZED LSH index path: build once, query via the partition-
+    // prunable (table, bucket) predicate — result-identical to x05
+    "x20_lsh_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).first().getSeq[Float](0).toArray
+      val idx = Similarity.buildLshIndex(emb, "vec_id", "embedding")
+      Similarity.lshTopKIndexed(idx, q, 10)
+    }),
     // embedding-cosine near-dup via hyperplane LSH
     "x06_embed_neardup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))

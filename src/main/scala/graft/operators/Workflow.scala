@@ -15,10 +15,10 @@ import org.apache.spark.sql.functions._
   *     `output_variable` lands in the context; :397-430 conditional
   *     branches read it);
   *   - the whole chain compiles to nested when-ladders in ONE projection:
-  *     single scan, whole-stage codegen, no shuffle, no UDFs (steps that
-  *     need the kernel tier can still plug a pooled-kernel engine into
-  *     [[Process]] via a mapPartitions-backed column — but the standard
-  *     steps are pure expressions);
+  *     single scan, whole-stage codegen, no shuffle, no UDFs. A step that
+  *     needs the kernel tier (a pooled-parser pass) runs as a preceding
+  *     `mapPartitions` stage whose output column the workflow consumes —
+  *     the standard steps themselves are pure expressions;
   *   - `auditCol` accumulates the names of the steps that ACTUALLY ran
   *     per row, in execution order (the reference's per-step results list,
   *     workflows.py:476-502).
