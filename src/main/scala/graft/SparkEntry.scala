@@ -412,6 +412,43 @@ object SparkEntry {
         .orderBy(col("engine"))
     }),
 
+    // ---- C4-style corpus cleaning (Raffel et al. 2020 §2.2) ----
+    // the synthetic docs are flat word soup, so sentence/line structure is
+    // derived in-query deterministically (same trick as q26): every
+    // "table" token becomes a sentence end, sentence ends become lines
+    "q29_c4_clean" -> ((s, dir) => {
+      import graft.operators.C4
+      val structured = regexp_replace(
+        regexp_replace(col("text"), "table", "table."), "\\. ", ".\n")
+      t(s, dir, "documents")
+        .select(
+          C4.keepDocument(structured).as("keep"),
+          size(C4.cleanLines(structured)).as("n_clean_lines"),
+          size(split(structured, "\n")).as("n_lines"),
+          C4.sentenceCount(structured).as("n_sentences"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1).otherwise(0)).cast("long").as("n_kept_docs"),
+          sum(col("n_clean_lines")).cast("long").as("total_clean_lines"),
+          sum(col("n_lines")).cast("long").as("total_lines"),
+          sum(col("n_sentences")).cast("long").as("total_sentences"))
+    }),
+
+    // ---- BPE-style pre-tokenization counts (vs whitespace tokens) ----
+    "q30_bpeish_tokens" -> ((s, dir) => {
+      val structured = regexp_replace(col("text"), "table", "table.")
+      t(s, dir, "documents")
+        .select(col("lang"),
+          TextAnalysis.bpeishTokenCount(structured).as("n_bpe"),
+          TextAnalysis.tokenCount(structured).as("n_ws"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_bpe")).cast("long").as("total_bpe_tokens"),
+          sum(col("n_ws")).cast("long").as("total_ws_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // ================= rows-only checks (not SQL-expressible) ============
     // extraction pipeline per-turn output (verified vs reference goldens in
     // sbt test; DuckDB cannot replicate the CPython-semantics kernel)
@@ -879,6 +916,32 @@ object SparkEntry {
          |SELECT engine, count(*) AS n,
          |  round(min(quality), 4) AS min_q, round(max(quality), 4) AS max_q
          |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q29_c4_clean" -> {
+      val st = "regexp_replace(regexp_replace(text, 'table', 'table.', 'g'), " +
+        "'\\. ', '.' || chr(10), 'g')"
+      import graft.operators.C4
+      s"""WITH s AS (
+         |  SELECT ${C4.keepDocumentSql(st)} AS keep,
+         |    len(${C4.cleanLinesSql(st)}) AS n_clean_lines,
+         |    len(regexp_split_to_array($st, chr(10))) AS n_lines,
+         |    ${C4.sentenceCountSql(st)} AS n_sentences
+         |  FROM documents)
+         |SELECT count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_docs,
+         |  CAST(sum(n_clean_lines) AS BIGINT) AS total_clean_lines,
+         |  CAST(sum(n_lines) AS BIGINT) AS total_lines,
+         |  CAST(sum(n_sentences) AS BIGINT) AS total_sentences
+         |FROM s""".stripMargin
+    },
+
+    "q30_bpeish_tokens" -> {
+      val st = "regexp_replace(text, 'table', 'table.', 'g')"
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(${TextAnalysis.bpeishTokenCountSql(st)}) AS BIGINT) AS total_bpe_tokens,
+         |  CAST(sum(len(regexp_split_to_array(trim(lower($st)), '\\s+'))) AS BIGINT) AS total_ws_tokens
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
     },
 
     "q16_ann_topk" ->

@@ -91,11 +91,15 @@ object Dedup {
 
     // (id, shingles) consumed by the signature path and BOTH verify joins.
     // Deliberately NOT persisted: an un-released persist() pins executor
-    // storage for the session (a long-lived job chaining dedup stages over
-    // a big corpus can't afford that), and both verify joins shuffle this
-    // same subtree by `id`, so Catalyst's ReusedExchange materializes the
-    // shingle pass ONCE for them — total cost is two narrow scans (bands +
-    // shared verify exchange), with zero cache-lifecycle burden on callers
+    // storage for the session (and at 100 TB the shingle table is LARGER
+    // than the corpus — pinning it is infeasible anyway). The cost model
+    // without the cache: the shingle pass is a narrow map over the scan,
+    // recomputed at most 3× (bands + two verify sides); when the candidate
+    // pair set is small — the normal case — Catalyst broadcasts the PAIRS
+    // and streams the shingle sides, or (AQE, small inputs) broadcasts
+    // shingled once and ReusedExchange shares it. Three narrow scans beat
+    // a corpus-sized cache at every scale, and callers carry zero
+    // cache-lifecycle burden (plan-guarded: bounded recompute, no leak)
     val shingled = docs.mapPartitions(_.map { case (id, text) =>
       (id, shingles(Option(text).getOrElse(""), p.shingleSize).toArray)
     }).toDF("id", "sh")

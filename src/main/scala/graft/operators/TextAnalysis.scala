@@ -189,6 +189,23 @@ object TextAnalysis {
   def routeByQuality(confidence: Column, threshold: Double = 0.75): Column =
     when(confidence >= threshold, lit("local")).otherwise(lit("fallback"))
 
+  /** BPE-style pre-tokenization count — the GPT-2 pre-tokenizer's regex
+    * family (Radford et al. 2019; simplified to the lookahead-free core so
+    * Java regex and RE2 agree): a token is an optional leading space plus
+    * a run of letters, digits, or other non-space symbols. The standard
+    * "token count" a training-data pipeline budgets by, closer to real
+    * tokenizer counts than whitespace splitting (punctuation separates).
+    */
+  val bpeishPattern: String = " ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpeishPattern), lit(0))
+
+  def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text))
+
+  def bpeishTokenCountSql(t: String): String =
+    s"len(regexp_extract_all($t, ' ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+'))"
+
   /** Content fingerprint: md5 of whitespace-normalized lowercased text —
     * the reference's index key (search_manager.py:147-149 md5; cache key
     * sha-256 cache_manager.py:119-170).

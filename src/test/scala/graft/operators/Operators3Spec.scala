@@ -87,16 +87,20 @@ class Operators3Spec extends AnyFunSuite with BeforeAndAfterAll {
       assert(Dedup.resolveClusters(pairs, driverMaxPairs = 0L).count() == 6) }
   }
 
-  test("minhash verify joins share one exchange over the shingle pass (no persist needed)") {
+  test("minhash without persist: shingle recompute is bounded, no cartesian, no cache") {
     val sp = spark
     import sp.implicits._
     val df = corpus.toDF("doc_id", "text")
     val q = Dedup.minHashNearDups(df, "doc_id", "text")
-    q.collect() // AQE finalizes exchange reuse during execution
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedExchange"),
-      s"the second verify join must reuse the first's exchange over the " +
-        s"shingle pass (this is what replaced the leaked persist); plan:\n$plan")
+    // the shingle mapPartitions appears at most 3x (bands + two verify
+    // sides) — the documented no-cache cost bound; joins stay hash/broadcast
+    val shingleScans = "MapPartitions graft\\.operators\\.Dedup".r
+      .findAllMatchIn(plan).size
+    assert(shingleScans <= 4, // 3 shingle passes + 1 signature pass
+      s"expected <=4 Dedup mapPartitions in the plan, got $shingleScans:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("InMemoryTableScan"),
+      s"no cartesian, no cached relation:\n$plan")
   }
 
   // ---------- set_value non-struct path: reference TypeError => no-op ----------
@@ -326,6 +330,44 @@ class Operators3Spec extends AnyFunSuite with BeforeAndAfterAll {
       assert(f3 == TextAnalysis.topNgramCharFraction(d, 3), s"n=3 for ${d.take(40)}")
       assert(f4 == TextAnalysis.topNgramCharFraction(d, 4), s"n=4 for ${d.take(40)}")
     }
+  }
+
+  // ---------- C4 cleaning + BPE-ish tokens ----------
+
+  test("C4 line/document gates: hand-computed") {
+    val sp = spark; import sp.implicits._
+    val docA = "This is a good line.\nshort.\nno terminal punct here\n" +
+      "Another proper sentence here!\nw w w?"
+    val docCode = "Valid sentence one. Two here. Three now. Four more. Five yes. { code }"
+    val docLorem = "Lorem Ipsum dolor sit amet. B c. D e. F g. H i."
+    val docFewSent = "Only one sentence here."
+    val docKeep = "One two three. Four five six! Seven eight nine? Ten eleven twelve. Last full stop."
+    val df = Seq(docA, docCode, docLorem, docFewSent, docKeep).toDF("text")
+    val got = df.select(
+      size(C4.cleanLines(col("text"))).as("nl"),
+      C4.sentenceCount(col("text")).as("ns"),
+      C4.keepDocument(col("text")).as("keep")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getBoolean(2))).toSeq
+    // docA: lines kept = good line (5w '.'), Another...(4w '!'), w w w? (3w '?');
+    // 4 sentences (two unpunctuated lines merge into one segment) -> drops
+    assert(got(0) == ((3, 4, false)))
+    assert(got(1)._3 == false, "curly brace page must drop")
+    assert(got(2)._3 == false, "lorem ipsum page must drop (case-insensitive)")
+    assert(got(3) == ((1, 1, false)), "fewer than 5 sentences drops")
+    assert(got(4) == ((1, 5, true)))
+  }
+
+  test("bpeish token count: punctuation and digit runs split like a pre-tokenizer") {
+    val sp = spark; import sp.implicits._
+    val cases = Seq(
+      ("hello world.", 3), // "hello", " world", "."
+      ("a1b2", 4),
+      ("don't stop", 4),   // "don", "'", "t", " stop"
+      ("x  y", 2),         // runs of spaces attach to following token
+      ("42 cats, 7 dogs!", 6))
+    val got = cases.map(_._1).toDF("text")
+      .select(TextAnalysis.bpeishTokenCount(col("text"))).collect().map(_.getInt(0)).toSeq
+    assert(got == cases.map(_._2), s"got $got")
   }
 
   // ---------- de-UDF parity ----------
