@@ -81,6 +81,22 @@ object StreamingExtract {
       .groupBy(window(col("ts"), "1 hour"), col("role"))
       .agg(count(lit(1)).as("n_turns"))
 
+  /** Streaming exact dedup across micro-batches — the training-data dedup
+    * stage on a live feed. Spark-first: compose the built-in streaming
+    * `dropDuplicatesWithinWatermark` over the content fingerprint (state-
+    * store-backed, so a duplicate arriving in a LATER micro-batch is
+    * dropped too), with the watermark bounding state: fingerprints older
+    * than the watermark are evicted, which is what makes this run forever
+    * on an unbounded feed. Exactly the columnar fingerprint the batch
+    * [[graft.operators.Dedup.exact]] keys on, so batch and streaming
+    * dedup agree on what "same document" means.
+    */
+  def dedupTurns(turns: Dataset[Turn], watermark: String = "24 hours"): DataFrame =
+    turns.toDF()
+      .withColumn("fp", graft.operators.TextAnalysis.fingerprint(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Running per-conversation progress via custom keyed state
     * (`mapGroupsWithState`) — the streaming counterpart of conversation
     * assembly: as turns arrive, track counts/high-water turn_idx without

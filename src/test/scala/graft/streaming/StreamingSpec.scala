@@ -133,6 +133,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(latest == expected)
   }
 
+  test("streaming exact dedup drops cross-batch duplicate fingerprints") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val q = StreamingExtract.dedupTurns(input.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("dedup_stream")
+      .outputMode("append")
+      .start()
+    val base = TranscriptGen.dataset(spark, 3).collect().toSeq
+    // batch 1: originals; batch 2: the SAME texts under different ids
+    // (same fingerprint -> must be dropped) plus one genuinely new text
+    input.addData(base)
+    q.processAllAvailable()
+    val dupes = base.take(5).map(t => t.copy(conv_id = t.conv_id + "-copy"))
+    val fresh = base.head.copy(conv_id = "fresh",
+      text = "a brand new never seen before text body")
+    input.addData(dupes :+ fresh)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT text FROM dedup_stream").collect().map(_.getString(0))
+    val gotFps = got.map(t => t.toLowerCase.trim.replaceAll("\\s+", " ")).distinct
+    assert(got.length == gotFps.length, "emitted stream must contain no duplicate fingerprints")
+    assert(got.exists(_.contains("brand new never seen")), "genuinely new text must pass")
+    assert(!spark.sql("SELECT 1 FROM dedup_stream WHERE conv_id LIKE '%-copy'")
+      .collect().exists(_ => true), "cross-batch duplicates must be dropped")
+  }
+
   test("event-time windowed rollup with watermark over a turn stream") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
