@@ -120,17 +120,20 @@ object Dedup {
     }.toDF("band", "key", "id")
 
     // bucket self-pairing with a width cap (protects against degenerate
-    // buckets — the skew guard); groupBy is one shuffle on (band, key)
+    // buckets — the skew guard); groupBy is one shuffle on (band, key).
+    // UPPER-TRIANGLE expansion: the bucket is sorted once, then element i
+    // pairs only with elements after it — half the intermediate structs of
+    // the n² emit-then-filter form, and id_a < id_b holds by construction
     val pairs = banded
       .groupBy("band", "key")
-      .agg(collect_list("id").as("ids"))
+      .agg(sort_array(collect_list("id")).as("ids"))
       .where(size(col("ids")).between(2, p.maxBucket))
       .select(explode(expr(
-        "flatten(transform(ids, a -> transform(ids, b -> named_struct('a', a, 'b', b))))"))
+        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), " +
+          "b -> named_struct('a', a, 'b', b))))"))
         .as("pr"))
       .select(col("pr.a").as("id_a"), col("pr.b").as("id_b"))
-      .where(col("id_a") < col("id_b"))
-      .distinct()
+      .distinct() // a pair can collide in several bands
 
     // verify candidates with exact jaccard over the shingle sets; the
     // arrays are distinct-element, so |A∩B| = size(array_intersect) and
@@ -207,17 +210,19 @@ object Dedup {
       (0 until 4).iterator.map(c => (c, (sig >>> (c * 16)) & 0xffffL, id, sig))
     }.toDF("chunk", "key", "id", "sig")
 
+    // upper-triangle over the id-sorted bucket (ids are unique, so the
+    // struct sort orders by id and id_a < id_b holds by construction)
     val pairs = banded
       .groupBy("chunk", "key")
-      .agg(collect_list(struct(col("id"), col("sig"))).as("xs"))
+      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("xs"))
       .where(size(col("xs")).between(2, maxBucket))
       .select(explode(expr(
-        "flatten(transform(xs, a -> transform(xs, b -> named_struct('a', a, 'b', b))))")).as("pr"))
+        "flatten(transform(xs, (a, i) -> transform(slice(xs, i + 2, size(xs)), " +
+          "b -> named_struct('a', a, 'b', b))))")).as("pr"))
       .select(
         col("pr.a.id").as("id_a"), col("pr.a.sig").as("sig_a"),
         col("pr.b.id").as("id_b"), col("pr.b.sig").as("sig_b"))
-      .where(col("id_a") < col("id_b"))
-      .distinct()
+      .distinct() // a pair can collide in several chunks
 
     // hamming distance = bit_count(a XOR b): a codegen built-in, no UDF
     pairs
@@ -263,15 +268,17 @@ object Dedup {
     val postings = shingled
       .select(col("id"), col("n"), explode(col("sh")).as("s"))
 
-    // one shuffle on shingle hash; df-capped pair expansion inside the agg
+    // one shuffle on shingle hash; df-capped UPPER-TRIANGLE pair expansion
+    // inside the agg (bucket sorted by id once; element i pairs only with
+    // later elements — half the structs of emit-all-then-filter)
     val pairCommon = postings
       .groupBy(col("s"))
-      .agg(collect_list(struct(col("id"), col("n"))).as("ds"))
+      .agg(sort_array(collect_list(struct(col("id"), col("n")))).as("ds"))
       .where(size(col("ds")).between(2, maxDocFreq))
       .select(explode(expr(
-        "flatten(transform(ds, a -> transform(ds, b -> named_struct('a', a, 'b', b))))"))
+        "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds)), " +
+          "b -> named_struct('a', a, 'b', b))))"))
         .as("pr"))
-      .where(col("pr.a.id") < col("pr.b.id"))
       .groupBy(
         col("pr.a.id").as("id_a"), col("pr.b.id").as("id_b"),
         col("pr.a.n").as("n_a"), col("pr.b.n").as("n_b"))
@@ -421,17 +428,18 @@ object Dedup {
         }
       }.toDF("id", "bucket", "v")
 
+    // upper-triangle over the id-sorted bucket (unique ids decide the
+    // struct order, so id_a < id_b by construction)
     val pairs = sigs
       .groupBy("bucket")
-      .agg(collect_list(struct(col("id"), col("v"))).as("xs"))
+      .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("xs"))
       .where(size(col("xs")).between(2, maxBucket))
       .select(explode(expr(
-        "flatten(transform(xs, a -> transform(xs, b -> named_struct('a', a, 'b', b))))")).as("pr"))
+        "flatten(transform(xs, (a, i) -> transform(slice(xs, i + 2, size(xs)), " +
+          "b -> named_struct('a', a, 'b', b))))")).as("pr"))
       .select(
         col("pr.a.id").as("id_a"), col("pr.a.v").as("v_a"),
         col("pr.b.id").as("id_b"), col("pr.b.v").as("v_b"))
-      .where(col("id_a") < col("id_b"))
-      .distinct()
 
     pairs
       .withColumn("cosine",
