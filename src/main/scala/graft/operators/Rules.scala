@@ -98,6 +98,9 @@ object Rules {
   // fires when ALL its conditions hold; its actions run in list order;
   // stop_processing short-circuits every later rule for that row.
 
+  // LOG_MESSAGE (rules.py:213-217) has no column-mutation analog: its
+  // engine-shaped counterpart is the `appliedCol` audit trail, which
+  // records exactly which rules fired per row.
   sealed trait Action
   /** rules.py:190-196 — dot-path context mutation. */
   final case class SetValue(fieldPath: String, value: Any) extends Action
@@ -109,6 +112,11 @@ object Rules {
   final case class SetMode(mode: String = "hybrid") extends Action
   /** rules.py:219-221 — context["stop_processing"] = True. */
   case object StopProcessing extends Action
+  /** templates.py:317-320 add_preprocessing — APPEND steps to the
+    * context's preprocessing list (the only list-valued rule action).
+    */
+  final case class AddPreprocessing(
+      steps: Seq[String], fieldPath: String = "preprocessing_steps") extends Action
 
   /** A rule with actions (ProcessingRule, rules.py:249-262). */
   final case class ActionRule(
@@ -236,6 +244,16 @@ object Rules {
           case SetMode(mode)        => setPath(dd, "ocr_mode", m, lit(mode))
           case StopProcessing       =>
             dd.withColumn("stop_processing", col("stop_processing") || m)
+          case AddPreprocessing(steps, path) =>
+            // templates.py:318: steps = config.get(path, []); steps.extend(...)
+            val existing =
+              if (dd.columns.contains(path)) col(path)
+              else array().cast("array<string>")
+            val appended = concat(coalesce(existing, array().cast("array<string>")),
+              array(steps.map(lit): _*))
+            dd.withColumn(path, when(m, appended)
+              .otherwise(if (dd.columns.contains(path)) col(path)
+                else array().cast("array<string>")))
         }
       }
       val d3 = appliedCol.fold(d2)(c => d2.withColumn(c,

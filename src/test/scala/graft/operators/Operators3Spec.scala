@@ -141,6 +141,24 @@ class Operators3Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out3 == Set((10, "x"), (20, "hit")))
   }
 
+  test("add_preprocessing appends across rules in priority order; unmatched rows untouched") {
+    val sp = spark; import sp.implicits._
+    import Rules._
+    val df = Seq(("a", 10), ("b", 20), ("a", 30)).toDF("lang", "n")
+    val rules = Seq(
+      ActionRule("big", 20, Seq(Condition("n", Op.GreaterThan, 15)),
+        Seq(AddPreprocessing(Seq("denoise")))),
+      ActionRule("lang-a", 10, Seq(Condition("lang", Op.Equals, "a")),
+        Seq(AddPreprocessing(Seq("binarize", "sharpen")))))
+    val got = applyActions(df, rules)
+      .select("lang", "n", "preprocessing_steps")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getSeq[String](2))).toSet
+    assert(got == Set(
+      ("a", 10, Seq("binarize", "sharpen")),          // only lang rule
+      ("b", 20, Seq("denoise")),                      // only big rule
+      ("a", 30, Seq("denoise", "binarize", "sharpen")))) // both, priority order
+  }
+
   // ---------- heavy hitters: deterministic merge tree ----------
 
   test("heavy hitters: identical output across repeated runs (fixed merge tree)") {
