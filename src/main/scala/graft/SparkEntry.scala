@@ -558,11 +558,14 @@ object SparkEntry {
           length(col("xml")).as("n_chars"), md5(col("xml")).as("md"))
       dispatched.unionByName(spans)
     }),
-    // search-index derived tables (S10): conversations -> turns -> chunks
+    // search-index derived tables (S10): conversations -> turns -> chunks.
+    // persistSource=false: this harness returns a lazy DataFrame, so no
+    // one could release the shared cache after the driver's action — the
+    // narrow extraction recomputes per consumer instead of leaking
     "x13_search_index" -> ((s, dir) => {
       val scale = if (dir.contains("0.1")) 200 else 60
       val extracted = ExtractionJob.extract(TranscriptGen.dataset(s, scale))
-      val idx = graft.pipeline.SearchIndex.build(extracted)
+      val idx = graft.pipeline.SearchIndex.build(extracted, persistSource = false)
       idx.chunks
         .groupBy(col("conv_id"))
         .agg(count(lit(1)).as("n_chunks"),

@@ -149,7 +149,9 @@ object Fallback {
     val avgQ = history
       .groupBy(col(engineCol).cast("string").as("e"))
       .agg(avg(col(qualityCol)).as("q"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      .collect()
+      .filterNot(r => r.isNullAt(0) || r.isNullAt(1)) // all-null history = no history
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
     val (pref, rest) = engines.partition(e => preferred.contains(e.name))
     pref.sortBy(e => preferred.indexOf(e.name)) ++
       rest.sortBy(e => (-avgQ.getOrElse(e.name, 0.0), e.name))

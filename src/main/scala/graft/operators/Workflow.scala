@@ -80,7 +80,8 @@ object Workflow {
     else df.withColumn(out, when(m, v))
 
   private def applyStep(df0: DataFrame, step: Step, m: Column,
-      auditCol: Option[String]): DataFrame = {
+      auditCol: Option[String],
+      pinSeq: java.util.concurrent.atomic.AtomicInteger): DataFrame = {
     // audit BEFORE applying, so a Conditional's name precedes its branch
     // steps' names (execution order: the conditional runs, then one arm)
     val df = auditCol match {
@@ -105,12 +106,15 @@ object Workflow {
         maskedSet(df, out, m, ok)
 
       case Conditional(name, condition, ifTrue, ifFalse) =>
-        val pin = s"__wf_cond_$name"
+        // unique pin per Conditional INSTANCE: a nested conditional that
+        // reuses an outer conditional's name must not clobber (or drop)
+        // the outer pin mid-branch
+        val pin = s"__wf_cond_${name}_${pinSeq.getAndIncrement()}"
         val pinned = df.withColumn(pin, coalesce(condition, lit(false)))
         val afterTrue = ifTrue.foldLeft(pinned)(
-          (d, s) => applyStep(d, s, m && col(pin), auditCol))
+          (d, s) => applyStep(d, s, m && col(pin), auditCol, pinSeq))
         val afterFalse = ifFalse.foldLeft(afterTrue)(
-          (d, s) => applyStep(d, s, m && !col(pin), auditCol))
+          (d, s) => applyStep(d, s, m && !col(pin), auditCol, pinSeq))
         afterFalse.drop(pin)
 
       case SetOutput(_, out, value) =>
@@ -129,6 +133,7 @@ object Workflow {
         df.withColumn(a, array().cast("array<string>"))
       case _ => df
     }
-    steps.foldLeft(seeded)((d, s) => applyStep(d, s, lit(true), auditCol))
+    val pinSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+    steps.foldLeft(seeded)((d, s) => applyStep(d, s, lit(true), auditCol, pinSeq))
   }
 }

@@ -34,7 +34,16 @@ object Backup {
       createdAtEpochMs: Long,
       watermarkEpochMs: Long, // latest bucket commit included
       buckets: Seq[Int],
-      files: Seq[BackupFile])
+      files: Seq[BackupFile],
+      // per-bucket identity (runId@commitMs@rows@bytes) of what this backup
+      // captured — incremental selection compares against the chain's
+      // accumulated identities, so a bucket recommitted within the same
+      // millisecond as a previous backup's watermark is still picked up
+      bucketIdentities: Seq[(Int, String)] = Seq.empty)
+
+  /** The change-detection key for a committed bucket. */
+  private def bucketIdentity(m: Checkpoint.Manifest): String =
+    s"${m.runId}@${m.committedAtEpochMs}@${m.rows}@${m.bytes}"
 
   final case class RestoreReport(
       backupId: String,
@@ -61,10 +70,14 @@ object Backup {
     val files = m.files.map(f =>
       s"""{"relPath":"${esc(f.relPath)}","md5":"${f.md5}","bytes":${f.bytes}}""")
       .mkString("[", ",", "]")
+    val ids = m.bucketIdentities.map { case (k, id) =>
+      s"""{"k":$k,"id":"${esc(id)}"}"""
+    }.mkString("[", ",", "]")
     s"""{"backupId":"${esc(m.backupId)}","sourceDir":"${esc(m.sourceDir)}",""" +
       s""""mode":"${m.mode}","createdAtEpochMs":${m.createdAtEpochMs},""" +
       s""""watermarkEpochMs":${m.watermarkEpochMs},""" +
-      s""""buckets":${m.buckets.mkString("[", ",", "]")},"files":$files}"""
+      s""""buckets":${m.buckets.mkString("[", ",", "]")},""" +
+      s""""bucketIdentities":$ids,"files":$files}"""
   }
 
   def readBackupManifest(backupDir: String, backupId: String): Option[BackupManifest] = {
@@ -86,26 +99,38 @@ object Backup {
       case JArray(xs) => xs.map(lng(_).toInt)
       case _ => Nil
     }
+    val ids = (j \ "bucketIdentities") match {
+      case JArray(xs) => xs.map(x => (lng(x \ "k").toInt, str(x \ "id")))
+      case _ => Nil
+    }
     Some(BackupManifest(str(j \ "backupId"), str(j \ "sourceDir"),
       str(j \ "mode"), lng(j \ "createdAtEpochMs"), lng(j \ "watermarkEpochMs"),
-      buckets, files))
+      buckets, files, ids))
   }
 
   def listBackups(backupDir: String): Seq[BackupManifest] = {
     val root = Paths.get(backupDir)
     if (!Files.exists(root)) return Seq.empty
-    Files.list(root).iterator().asScala
-      .filter(Files.isDirectory(_))
-      .flatMap(d => readBackupManifest(backupDir, d.getFileName.toString))
-      .toSeq.sortBy(_.createdAtEpochMs)
+    val stream = Files.list(root)
+    try {
+      stream.iterator().asScala
+        .filter(Files.isDirectory(_))
+        .flatMap(d => readBackupManifest(backupDir, d.getFileName.toString))
+        .toSeq.sortBy(_.createdAtEpochMs)
+    } finally stream.close()
   }
 
-  /** Latest completed backup watermark for this source (the reference's
-    * `MAX(completed_at) ... WHERE source_path = ?`, :349-353).
+  /** The chain's view of what is already backed up for `sourceDir`:
+    * per-bucket identities accumulated over all backups in commit order
+    * (later backups win). The reference keys incrementals on a single
+    * MAX(completed_at) timestamp (:349-353); a per-bucket identity map is
+    * the lossless form — a bucket recommitted in the same millisecond as
+    * the old watermark still differs in identity and is picked up.
     */
-  private def lastWatermark(backupDir: String, sourceDir: String): Option[Long] =
+  private def backedUpIdentities(
+      backupDir: String, sourceDir: String): Map[Int, String] =
     listBackups(backupDir).filter(_.sourceDir == sourceDir)
-      .map(_.watermarkEpochMs).maxOption
+      .foldLeft(Map.empty[Int, String])((acc, m) => acc ++ m.bucketIdentities)
 
   /** Create a backup of the checkpoint store at `outDir`.
     *
@@ -124,14 +149,15 @@ object Backup {
       outDir: String, numBuckets: Int, backupDir: String, backupId: String,
       incremental: Boolean = false,
       nowMs: Long = System.currentTimeMillis()): BackupManifest = {
-    val wm = if (incremental) lastWatermark(backupDir, outDir).getOrElse(Long.MinValue)
-    else Long.MinValue
+    val already =
+      if (incremental) backedUpIdentities(backupDir, outDir)
+      else Map.empty[Int, String]
     val selected = (0 until numBuckets).flatMap { k =>
       Checkpoint.readManifest(outDir, k)
-        .filter(_.committedAtEpochMs > wm).map(m => (k, m))
+        .filter(m => !already.get(k).contains(bucketIdentity(m)))
+        .map(m => (k, m))
     }
-    val newWm = (selected.map(_._2.committedAtEpochMs) :+
-      (if (wm == Long.MinValue) 0L else wm)).max
+    val newWm = (selected.map(_._2.committedAtEpochMs) :+ 0L).max
 
     val stage = Paths.get(backupDir, s".$backupId.tmp")
     if (Files.exists(stage)) deleteTree(stage)
@@ -144,9 +170,11 @@ object Backup {
         Paths.get(outDir, "manifests", s"part-$k.json"),
         Paths.get(outDir, "data", s"part_id=$k"))
       parts.filter(Files.exists(_)).foreach { p =>
-        val walk = if (Files.isDirectory(p))
-          Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_)).toSeq
-        else Seq(p)
+        val walk = if (Files.isDirectory(p)) {
+          val stream = Files.walk(p)
+          try stream.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+          finally stream.close()
+        } else Seq(p)
         walk.foreach { f =>
           val rel = src.relativize(f).toString
           val dst = stage.resolve("files").resolve(rel)
@@ -158,7 +186,8 @@ object Backup {
     }
     val manifest = BackupManifest(backupId, outDir,
       if (incremental) "incremental" else "full",
-      nowMs, newWm, selected.map(_._1), files.toSeq)
+      nowMs, newWm, selected.map(_._1), files.toSeq,
+      selected.map { case (k, m) => (k, bucketIdentity(m)) })
     if (selected.isEmpty) { deleteTree(stage); return manifest }
     Files.write(stage.resolve("backup.json"),
       manifestJson(manifest).getBytes(StandardCharsets.UTF_8))
@@ -201,23 +230,48 @@ object Backup {
   }
 
   /** Retention cleanup (backup_manager.py:523-555): delete backups older
-    * than `retentionMs`, always keeping at least the most recent one.
-    * Returns the deleted backup ids.
+    * than `retentionMs`, always keeping the most recent one AND every
+    * backup a kept incremental depends on. An incremental restores by
+    * layering over everything back to (and including) its nearest earlier
+    * FULL backup of the same source — deleting any link of that chain
+    * would make the kept incrementals unrestorable, so the chain is
+    * protected regardless of age (the reference's cleanup has exactly
+    * this base-deletion hazard; closed here). Returns deleted ids.
     */
   def cleanupOldBackups(
       backupDir: String, retentionMs: Long,
       nowMs: Long = System.currentTimeMillis()): Seq[String] = {
     val all = listBackups(backupDir)
     if (all.isEmpty) return Seq.empty
-    val keepNewest = all.last.backupId
-    val doomed = all.filter(m =>
-      m.backupId != keepNewest && (nowMs - m.createdAtEpochMs) > retentionMs)
+    val keep = scala.collection.mutable.Set.empty[String]
+    keep += all.last.backupId
+    all.foreach(m =>
+      if ((nowMs - m.createdAtEpochMs) <= retentionMs) keep += m.backupId)
+    // chain closure per source: walk kept incrementals back to their full
+    all.groupBy(_.sourceDir).values.foreach { chain =>
+      val sorted = chain.sortBy(_.createdAtEpochMs).toIndexedSeq
+      sorted.indices.reverse.foreach { i =>
+        if (keep.contains(sorted(i).backupId) && sorted(i).mode == "incremental") {
+          var j = i - 1
+          var foundFull = false
+          while (j >= 0 && !foundFull) {
+            keep += sorted(j).backupId
+            foundFull = sorted(j).mode == "full"
+            j -= 1
+          }
+        }
+      }
+    }
+    val doomed = all.filterNot(m => keep.contains(m.backupId))
     doomed.foreach(m => deleteTree(Paths.get(backupDir, m.backupId)))
     doomed.map(_.backupId)
   }
 
   private def deleteTree(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+    if (Files.exists(p)) {
+      val stream = Files.walk(p)
+      try stream.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.deleteIfExists(f))
+      finally stream.close()
+    }
 }

@@ -106,8 +106,12 @@ object Checkpoint {
 
   private def dirBytes(dir: Path): Long =
     if (!Files.exists(dir)) 0L
-    else Files.walk(dir).iterator().asScala
-      .filter(Files.isRegularFile(_)).map(Files.size).sum
+    else {
+      val stream = Files.walk(dir)
+      try stream.iterator().asScala
+        .filter(Files.isRegularFile(_)).map(Files.size).sum
+      finally stream.close()
+    }
 
   /** Run the extraction resumably. Returns the manifests committed in THIS
     * run (buckets already committed under the SAME `configHash` and within
@@ -189,8 +193,10 @@ object Checkpoint {
         // while the manifest records rows=0 — readResult would serve data
         // the manifest says doesn't exist. Delete the directory explicitly.
         if (rows == 0L && Files.exists(dir)) {
-          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          val stream = Files.walk(dir)
+          try stream.sorted(java.util.Comparator.reverseOrder())
             .forEach(p => Files.deleteIfExists(p))
+          finally stream.close()
         }
         val m = Manifest(k, rows, dirBytes(dir), runId,
           System.currentTimeMillis(), lineage, configHash)

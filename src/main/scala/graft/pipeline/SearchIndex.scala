@@ -28,11 +28,19 @@ object SearchIndex {
     def unpersist(): Unit = { cached.unpersist(); () }
   }
 
-  def build(extracted: Dataset[ExtractedTurn], chunkMaxLen: Int = 500): IndexTables = {
-    // one pass: the three tables share this cached projection — without it
-    // each table's write would re-run the full extraction kernel lineage.
-    // Call IndexTables.unpersist() after the sinks are materialized.
-    val ok = extracted.where(col("success")).persist()
+  /** `persistSource = true` (the sink-writing production shape) caches the
+    * shared extraction projection so each table's write doesn't re-run the
+    * kernel lineage — the caller MUST call [[IndexTables.unpersist]] after
+    * the sinks are materialized. Pass `false` when no one can release the
+    * cache after the consuming action (e.g. a query harness that only
+    * returns a lazy DataFrame): the tables then recompute the narrow
+    * extraction per consumer instead of pinning executor storage.
+    */
+  def build(
+      extracted: Dataset[ExtractedTurn], chunkMaxLen: Int = 500,
+      persistSource: Boolean = true): IndexTables = {
+    val ok0 = extracted.where(col("success"))
+    val ok = if (persistSource) ok0.persist() else ok0
 
     val conversations = ExtractionJob.assemble(ok) // reuses the cache
       .withColumn("content_hash", md5(col("full_text")))

@@ -85,6 +85,11 @@ class Operators3Spec extends AnyFunSuite with BeforeAndAfterAll {
     checked("resolveClusters (distributed label-propagation path)") {
       val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
       assert(Dedup.resolveClusters(pairs, driverMaxPairs = 0L).count() == 6) }
+    checked("SearchIndex.build(persistSource = false) — the lazy-harness shape") {
+      val extracted = graft.pipeline.ExtractionJob.extract(
+        graft.pipeline.TranscriptGen.dataset(sp, 5))
+      val idx = graft.pipeline.SearchIndex.build(extracted, persistSource = false)
+      assert(idx.chunks.count() > 0 && idx.conversations.count() > 0) }
   }
 
   test("minhash without persist: shingle recompute is bounded, no cartesian, no cache") {
@@ -292,6 +297,20 @@ class Operators3Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"workflow must compile to one narrow projection, got:\n$plan")
   }
 
+  test("workflow: nested conditional REUSING the outer conditional's name still branches correctly") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((1L, 5), (2L, 15), (3L, 25)).toDF("id", "n")
+    val wf = Seq(
+      Workflow.Conditional("route", col("n") > 10,
+        ifTrue = Seq(Workflow.Conditional("route", col("n") > 20, // same name!
+          ifTrue = Seq(Workflow.SetOutput("hi", "dest", lit("high"))),
+          ifFalse = Seq(Workflow.SetOutput("mid", "dest", lit("mid"))))),
+        ifFalse = Seq(Workflow.SetOutput("lo", "dest", lit("low")))))
+    val got = Workflow.run(df, wf).select("id", "dest")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "low"), (2L, "mid"), (3L, "high")))
+  }
+
   // ---------- multi-engine best-of-N ----------
 
   test("bestOfN: argmax quality with first-in-order tie-break (reference _select_best_result)") {
@@ -325,6 +344,11 @@ class Operators3Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ordered == Seq("b", "c", "a", "d"))
     val withPref = Fallback.orderByHistory(engines, history, preferred = Seq("d", "a")).map(_.name)
     assert(withPref == Seq("d", "a", "b", "c"))
+    // all-null history for an engine = no history (avg aggregates to null)
+    val nullHist = Seq(("b", Some(0.9)), ("c", None), ("c", None))
+      .toDF("engine", "quality")
+    val orderedN = Fallback.orderByHistory(engines, nullHist).map(_.name)
+    assert(orderedN == Seq("b", "a", "c", "d"))
   }
 
   // ---------- x19 fast path equality ----------

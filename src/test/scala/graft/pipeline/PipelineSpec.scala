@@ -280,8 +280,9 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b2 = Backup.backup(outDir, numBuckets, backupDir, "b2", incremental = true)
     assert(b2.buckets.isEmpty && Backup.readBackupManifest(backupDir, "b2").isEmpty)
 
-    // recommit two buckets, then incremental picks up exactly those
-    Thread.sleep(5)
+    // recommit two buckets, then incremental picks up exactly those — no
+    // sleep: selection is per-bucket IDENTITY (runId@commit@rows@bytes),
+    // so a recommit within the same millisecond is still detected
     Seq(2, 5).foreach(k => Files.delete(Paths.get(outDir, "manifests", s"part-$k.json")))
     Checkpoint.run(ds, outDir, numBuckets, runId = "r2", groupSize = 4)
     val b3 = Backup.backup(outDir, numBuckets, backupDir, "b3", incremental = true)
@@ -310,11 +311,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!rBad.ok && rBad.corruptFiles.nonEmpty && rBad.filesRestored == 0)
     assert(!Files.exists(Paths.get(badDir, "data")), "corrupt restore must write nothing")
 
-    // retention: everything past the window is deleted except the newest
-    val deleted = Backup.cleanupOldBackups(backupDir, retentionMs = 0L,
+    // retention with chain protection: while the newest backup is the
+    // INCREMENTAL b3, its full base b1 must survive any window — deleting
+    // it would make b3 unrestorable
+    val deleted0 = Backup.cleanupOldBackups(backupDir, retentionMs = 0L,
       nowMs = System.currentTimeMillis() + 100000)
-    assert(deleted == Seq("b1"))
-    assert(Backup.listBackups(backupDir).map(_.backupId) == Seq("b3"))
+    assert(deleted0.isEmpty,
+      s"b1 is the full base of kept incremental b3 — must survive, deleted $deleted0")
+    assert(Backup.listBackups(backupDir).map(_.backupId).sorted == Seq("b1", "b3"))
+
+    // a fresh FULL backup supersedes the chain: now b1 AND b3 are deletable
+    val b4 = Backup.backup(outDir, numBuckets, backupDir, "b4")
+    assert(b4.mode == "full" && b4.buckets.sorted == (0 until numBuckets))
+    val deleted1 = Backup.cleanupOldBackups(backupDir, retentionMs = 0L,
+      nowMs = System.currentTimeMillis() + 100000)
+    assert(deleted1.sorted == Seq("b1", "b3"))
+    assert(Backup.listBackups(backupDir).map(_.backupId) == Seq("b4"))
   }
 
   test("partition-count invariance: same output at 2 and 16 input partitions") {
