@@ -521,6 +521,17 @@ object SparkEntry {
         .select(col("embedding")).first().getSeq[Float](0).toArray
       Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10, nList = 16, nProbe = 8)
     }),
+    // MATERIALIZED IVF index path: train + assign once, probe via the
+    // partition-prunable ivf_list isin — result-identical to x08's recipe
+    "x21_ivf_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).first().getSeq[Float](0).toArray
+      val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+        nList = 16, iters = 2)
+      val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", cents, nAssign = 4)
+      Similarity.ivfTopKIndexed(idx, cents, q, 10, nProbe = 8)
+    }),
     // chunking w/ overlap (F14) — reference word-packing semantics;
     // mapPartitions (the codebase's pooled-kernel pattern), not a row UDF
     "x09_chunks" -> ((s, dir) => {

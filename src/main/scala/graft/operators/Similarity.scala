@@ -276,6 +276,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist an [[ivfIndex]] partitioned by list id — the physical layout
+    * where a probe is partition pruning (reads nProbe of nList
+    * directories). Centroids are a tiny driver-side array (nList × dim);
+    * persist them next to the index (e.g. as JSON) and pass to
+    * [[ivfTopKIndexed]] at query time.
+    */
+  def writeIvfIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("ivf_list").parquet(path)
+
+  /** IVF top-k over a MATERIALIZED index (from [[ivfIndex]], typically
+    * read back from [[writeIvfIndex]]'s layout): probe membership is an
+    * `isin` over the PARTITION column, so only the probed list
+    * directories are scanned. Identical semantics to [[ivfTopK]] given
+    * the same centroids/nAssign (same candidates, scoring, tie-break) —
+    * minus the per-query training/assignment cost, which is the point.
+    */
+  def ivfTopKIndexed(
+      index: DataFrame, cents: Array[(Int, Array[Float])],
+      query: Array[Float], k: Int, nProbe: Int = 4): DataFrame = {
+    val probed = cents.map { case (i, c) => (i, cosine(query, c)) }
+      .sortBy { case (i, c) => (-c, i) }.take(nProbe).map(_._1).toSeq
+    index
+      .where(col("ivf_list").isin(probed: _*))
+      .dropDuplicates("id")
+      .select(col("id"),
+        graft.functions.VectorFunctions.cosineConst(col("v"), query).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
   // ---------- materialized LSH index (the 100-TB query path) ----------
 
   /** Build the MATERIALIZED multi-table LSH index: one membership row per

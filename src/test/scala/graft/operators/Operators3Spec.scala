@@ -412,6 +412,43 @@ class Operators3Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == cases.map(_._2), s"got $got")
   }
 
+  test("materialized IVF index: identical to in-memory probe; partition-pruned reads") {
+    val sp = spark; import sp.implicits._
+    val emb = vecs.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+    val q = vecs(3)._2
+    val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", nList = 16, iters = 2)
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", cents, nAssign = 4)
+    val inMem = Similarity.ivfTopKIndexed(idx, cents, q, 10, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+    Similarity.writeIvfIndex(idx.repartition(1), dir)
+    val disk = sp.read.parquet(dir)
+    val viaDisk = Similarity.ivfTopKIndexed(disk, cents, q, 10, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaDisk == inMem)
+
+    // equal to the self-training ivfTopK given the same training recipe
+    val direct = Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10,
+      nList = 16, nProbe = 8, trainIters = 2, nAssign = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(inMem == direct)
+
+    // pruning proof: the probe reads 8 of 16 list directories
+    val probed = cents.map { case (i, c) => (i, Similarity.cosine(q, c)) }
+      .sortBy { case (i, c) => (-c, i) }.take(8).map(_._1).toSeq
+    val filtered = disk.where(col("ivf_list").isin(probed: _*))
+    filtered.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case other => other.collect { case f: FileSourceScanExec => f }.toSeq
+    }
+    val numFiles = scans(filtered.queryExecution.executedPlan).head.metrics("numFiles").value
+    assert(numFiles <= 8L, s"probe must read <=8 list dirs, read $numFiles")
+  }
+
   // ---------- de-UDF parity ----------
 
   test("native hamming/jaccard expressions match the scala definitions") {
