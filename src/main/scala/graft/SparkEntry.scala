@@ -366,6 +366,19 @@ object SparkEntry {
           round(max(col("dpf")), 4).as("max_dpf"))
     }),
 
+    // ---- session_window sessionization (batch form of the streaming op)
+    // same 30-min gap rule as q08 but via the native session_window
+    // operator; per-user session/event counts, oracle = gaps-and-islands
+    "q31_session_window" -> ((s, dir) => {
+      graft.streaming.StreamingExtract.sessions(
+        t(s, dir, "events"), "user_id", "ts", "30 minutes")
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum(col("n_rows")).cast("long").as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---- composed multi-step workflow with conditional branching ----
     // process -> extract_fields -> validate_data -> conditional routing
     // (workflows.py:139-208 dispatch; nested conditional in the false arm)
@@ -889,6 +902,16 @@ object SparkEntry {
          |  round(min(quality), 4) AS min_q, round(max(quality), 4) AS max_q
          |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+
+    "q31_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events)
+        |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q27_workflow" -> {
       val cs = graft.operators.Fallback.contentScoreSql("text")

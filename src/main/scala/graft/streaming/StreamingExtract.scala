@@ -81,6 +81,29 @@ object StreamingExtract {
       .groupBy(window(col("ts"), "1 hour"), col("role"))
       .agg(count(lit(1)).as("n_turns"))
 
+  /** Gap-based sessionization via the built-in `session_window` — one
+    * definition serving BATCH (events table, q31 oracle) and STREAMING
+    * (watermark bounds state; closed sessions emit in append mode once
+    * the watermark passes session end). A new session starts when the gap
+    * since the previous row is ≥ `gap`; `session_end` = last ts + gap.
+    */
+  def sessions(
+      df: DataFrame, keyCol: String, tsCol: String,
+      gap: String = "30 minutes",
+      watermark: Option[String] = None): DataFrame = {
+    // cast BEFORE the watermark: a cast inside session_window would be a
+    // different expression than the watermarked column and streaming
+    // append mode would reject the aggregation as unwatermarked
+    val cast = df.withColumn(tsCol, col(tsCol).cast("timestamp"))
+    val wm = watermark.fold(cast)(w => cast.withWatermark(tsCol, w))
+    wm.groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_rows"))
+  }
+
   /** Streaming exact dedup across micro-batches — the training-data dedup
     * stage on a live feed. Spark-first: compose the built-in streaming
     * `dropDuplicatesWithinWatermark` over the content fingerprint (state-

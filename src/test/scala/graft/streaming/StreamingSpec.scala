@@ -162,6 +162,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().exists(_ => true), "cross-batch duplicates must be dropped")
   }
 
+  test("session_window sessionization closes sessions in streaming append mode") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val q = StreamingExtract.sessions(
+      input.toDS().toDF(), "conv_id", "ts", "30 minutes", watermark = Some("10 minutes"))
+      .writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("append").start()
+    def turn(c: String, i: Int, ms: Long) =
+      Turn(c, i, "user", s"text $i", "", new java.sql.Timestamp(ms))
+    val t0 = 1700000000000L
+    val H = 3600 * 1000L
+    // c1: two turns 5 min apart (one session), a third 2h later (second session)
+    input.addData(Seq(turn("c1", 0, t0), turn("c1", 1, t0 + 5 * 60 * 1000L),
+      turn("c1", 2, t0 + 2 * H)))
+    q.processAllAvailable()
+    input.addData(Seq(turn("c2", 0, t0 + 10 * H))) // advances the watermark
+    q.processAllAvailable()
+    input.addData(Seq(turn("c3", 0, t0 + 20 * H))) // advances it further
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT conv_id, n_rows FROM sessions_stream")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    // closed: c1's 2-turn and 1-turn sessions, c2's single; c3 still open
+    assert(got == Seq(("c1", 1L), ("c1", 2L), ("c2", 1L)), s"got $got")
+  }
+
   test("event-time windowed rollup with watermark over a turn stream") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
