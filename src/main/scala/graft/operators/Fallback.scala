@@ -24,10 +24,12 @@ import org.apache.spark.sql.functions._
   *     real second stage (a pooled-kernel `mapPartitions`, an external
   *     service). NOTE: the kept/fallback branches are complementary
   *     FILTERS over the first pass, and the routing predicate (computed
-  *     quality) is not pushable — without `cacheFirstPass` the source is
-  *     scanned twice. Set `cacheFirstPass=true` to persist pass 1 when
-  *     the input lineage is expensive (caller clears the cache after the
-  *     consuming action).
+  *     quality) is not pushable — `twoPass` scans the source twice. When
+  *     the input lineage is expensive, use [[twoPassCached]], which
+  *     persists pass 1 and hands back a release handle (the
+  *     `SearchIndex.IndexTables` pattern) so the caller can drop the
+  *     cache after the consuming action — no operator-internal persist is
+  *     ever unreachable.
   *
   * Output schema adds `result_text`, `quality`, `engine`, `route`.
   */
@@ -68,12 +70,37 @@ object Fallback {
   def twoPass(
       df: DataFrame, textCol: String,
       first: Engine, second: Engine,
-      qualityThreshold: Double = 0.7,
-      cacheFirstPass: Boolean = false): DataFrame = {
+      qualityThreshold: Double = 0.7): DataFrame =
+    routed(df, textCol, first, second, qualityThreshold) {
+      raw => (raw, () => ())
+    }.df
+
+  /** [[twoPass]] with the first pass persisted. Returns the routed frame
+    * plus a `release()` the caller invokes after the consuming action —
+    * the persisted first pass is otherwise unreachable (a local val), and
+    * `spark.catalog.clearCache()` is exactly the global hammer the cache
+    * lifecycle discipline forbids.
+    */
+  final case class Routed(df: DataFrame, release: () => Unit)
+
+  def twoPassCached(
+      df: DataFrame, textCol: String,
+      first: Engine, second: Engine,
+      qualityThreshold: Double = 0.7): Routed =
+    routed(df, textCol, first, second, qualityThreshold) { raw =>
+      val cached = raw.persist()
+      (cached, () => { cached.unpersist(blocking = true); () })
+    }
+
+  private def routed(
+      df: DataFrame, textCol: String,
+      first: Engine, second: Engine,
+      qualityThreshold: Double)(
+      hold: DataFrame => (DataFrame, () => Unit)): Routed = {
     val pass1raw = df
       .withColumn("__t1", first.result(col(textCol)))
       .withColumn("__q1", coalesce(first.quality(col("__t1")), lit(0.0)))
-    val pass1 = if (cacheFirstPass) pass1raw.persist() else pass1raw
+    val (pass1, release) = hold(pass1raw)
 
     // quality acceptable: keep the first engine's result, second engine
     // never runs for these rows (multi_engine.py:185-188 `break`)
@@ -98,7 +125,7 @@ object Fallback {
       .withColumn("route", lit("fallback"))
       .drop("__t2", "__q2", "__use2")
 
-    kept.unionByName(fallback).drop("__t1", "__q1")
+    Routed(kept.unionByName(fallback).drop("__t1", "__q1"), release)
   }
 
   /** Parallel multi-engine best-of-N (multi_engine.py:222-280): the
@@ -108,30 +135,36 @@ object Fallback {
     * scan — "parallel" is the executor's SIMD/pipeline parallelism, not
     * threads — and selects per row with a greatest-of-structs fold.
     *
-    * Tie-break: strictly-greater updates, so the EARLIEST engine in list
-    * order wins ties — the deterministic form of the reference's stable
-    * sort over its results dict (:325-326: `sort(reverse=True)` keeps
-    * insertion order among equal scores and takes the first).
+    * Tie-break: EARLIEST engine in list order wins ties — the
+    * deterministic form of the reference's stable sort over its results
+    * dict (:325-326: `sort(reverse=True)` keeps insertion order among
+    * equal scores and takes the first). Implemented as `greatest` over
+    * (quality, -listIndex, …) structs: struct comparison is
+    * lexicographic, so equal qualities fall through to the negated index
+    * and the smaller index wins. One expression LINEAR in the number of
+    * engines — the naive when-chain fold references its accumulator twice
+    * per step, doubling the tree per engine.
     *
     * Output adds `result_text`, `quality`, `engine` (same contract as
     * [[onePass]]/[[twoPass]], minus `route`, which is a fallback concept).
     */
   def bestOfN(df: DataFrame, textCol: String, engines: Seq[Engine]): DataFrame = {
     require(engines.nonEmpty, "bestOfN needs at least one engine")
-    val scored = engines.map { e =>
+    val entries = engines.zipWithIndex.map { case (e, i) =>
       val t = e.result(col(textCol))
-      (e.name, t, coalesce(e.quality(t), lit(0.0)))
+      struct(
+        coalesce(e.quality(t), lit(0.0)).as("q"),
+        lit(-i).as("neg_idx"),
+        lit(e.name).as("engine"),
+        t.as("text"))
     }
-    val (n0, t0, q0) = scored.head
-    val (bn, bt, bq) = scored.tail.foldLeft((lit(n0), t0, q0)) {
-      case ((accN, accT, accQ), (n, t, q)) =>
-        (when(q > accQ, lit(n)).otherwise(accN),
-          when(q > accQ, t).otherwise(accT),
-          when(q > accQ, q).otherwise(accQ))
-    }
-    df.withColumn("result_text", bt)
-      .withColumn("quality", bq)
-      .withColumn("engine", bn)
+    val best = if (entries.sizeIs == 1) entries.head else greatest(entries: _*)
+    df.withColumn("__best", best)
+      .select(col("*"),
+        col("__best.text").as("result_text"),
+        col("__best.q").as("quality"),
+        col("__best.engine").as("engine"))
+      .drop("__best")
   }
 
   /** Historical-quality engine ordering (multi_engine.py:282-306):

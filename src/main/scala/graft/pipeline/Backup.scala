@@ -148,7 +148,16 @@ object Backup {
   def backup(
       outDir: String, numBuckets: Int, backupDir: String, backupId: String,
       incremental: Boolean = false,
-      nowMs: Long = System.currentTimeMillis()): BackupManifest = {
+      nowMs: Long = System.currentTimeMillis(),
+      overwrite: Boolean = false): BackupManifest = {
+    // a reused id must not silently replace an existing backup: if the
+    // overwritten backup was a link in an incremental chain, later
+    // incrementals would restore over DIFFERENT bucket contents with no
+    // warning — require explicit overwrite
+    if (!overwrite && Files.exists(Paths.get(backupDir, backupId)))
+      throw new IllegalStateException(
+        s"backup id '$backupId' already exists in $backupDir; " +
+          "pass overwrite=true to replace it")
     val already =
       if (incremental) backedUpIdentities(backupDir, outDir)
       else Map.empty[Int, String]
@@ -244,7 +253,12 @@ object Backup {
     val all = listBackups(backupDir)
     if (all.isEmpty) return Seq.empty
     val keep = scala.collection.mutable.Set.empty[String]
-    keep += all.last.backupId
+    // "always keep the most recent" is PER SOURCE: with two checkpoint
+    // stores sharing one backupDir, a source whose backups are all past
+    // retention must not lose its only copy just because the OTHER source
+    // has a newer backup
+    all.groupBy(_.sourceDir).values.foreach(chain =>
+      keep += chain.maxBy(_.createdAtEpochMs).backupId)
     all.foreach(m =>
       if ((nowMs - m.createdAtEpochMs) <= retentionMs) keep += m.backupId)
     // chain closure per source: walk kept incrementals back to their full

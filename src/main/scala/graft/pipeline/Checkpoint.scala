@@ -191,8 +191,13 @@ object Checkpoint {
         // emitted rows for: a recomputed (stale/crashed) bucket whose new
         // result is 0 rows would otherwise keep its old parquet on disk
         // while the manifest records rows=0 — readResult would serve data
-        // the manifest says doesn't exist. Delete the directory explicitly.
+        // the manifest says doesn't exist. Delete the directory explicitly —
+        // but retract the STALE manifest first: a crash between dir-delete
+        // and the new manifest write must never leave a manifest (rows>0,
+        // old configHash) pointing at a deleted directory, which readResult
+        // would treat as committed-but-empty.
         if (rows == 0L && Files.exists(dir)) {
+          Files.deleteIfExists(manifestPath(outDir, k))
           val stream = Files.walk(dir)
           try stream.sorted(java.util.Comparator.reverseOrder())
             .forEach(p => Files.deleteIfExists(p))

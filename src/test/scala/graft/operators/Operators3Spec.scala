@@ -90,6 +90,15 @@ class Operators3Spec extends AnyFunSuite with BeforeAndAfterAll {
         graft.pipeline.TranscriptGen.dataset(sp, 5))
       val idx = graft.pipeline.SearchIndex.build(extracted, persistSource = false)
       assert(idx.chunks.count() > 0 && idx.conversations.count() > 0) }
+    checked("Fallback.twoPassCached — persist is held by a handle, released here") {
+      val first = Fallback.Engine("fast", t => t,
+        t => when(length(t) > 300, 1.0).otherwise(0.1))
+      val second = Fallback.Engine("slow", t => upper(t), _ => lit(0.9))
+      val r = Fallback.twoPassCached(df, "text", first, second, 0.7)
+      assert(r.df.count() == df.count())
+      assert(sp.sparkContext.getPersistentRDDs.nonEmpty,
+        "twoPassCached must actually persist the first pass")
+      r.release() }
   }
 
   test("minhash without persist: shingle recompute is bounded, no cartesian, no cache") {

@@ -327,6 +327,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       nowMs = System.currentTimeMillis() + 100000)
     assert(deleted1.sorted == Seq("b1", "b3"))
     assert(Backup.listBackups(backupDir).map(_.backupId) == Seq("b4"))
+
+    // reusing an id must FAIL, not silently replace a chain link; explicit
+    // overwrite is the escape hatch
+    intercept[IllegalStateException] {
+      Backup.backup(outDir, numBuckets, backupDir, "b4")
+    }
+    assert(Backup.backup(outDir, numBuckets, backupDir, "b4",
+      overwrite = true).mode == "full")
+
+    // per-source retention: a SECOND checkpoint store sharing this
+    // backupDir must keep its own most recent backup even when its only
+    // backup is past retention and the other source has a newer one —
+    // "keep the newest" is per sourceDir, not global
+    val outDir2 = Files.createTempDirectory("graft-bk-src2").toString
+    Checkpoint.run(TranscriptGen.dataset(spark, 10), outDir2, numBuckets,
+      runId = "s1", groupSize = 4)
+    val c1 = Backup.backup(outDir2, numBuckets, backupDir, "c1",
+      nowMs = System.currentTimeMillis() - 1000000L)
+    assert(c1.buckets.nonEmpty)
+    val deleted2 = Backup.cleanupOldBackups(backupDir, retentionMs = 0L,
+      nowMs = System.currentTimeMillis() + 100000)
+    assert(deleted2.isEmpty,
+      s"c1 is its source's only backup — must survive, deleted $deleted2")
+    assert(Backup.listBackups(backupDir).map(_.backupId).sorted == Seq("b4", "c1"))
   }
 
   test("partition-count invariance: same output at 2 and 16 input partitions") {
