@@ -379,6 +379,24 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ---- MinHash+LSH near-dup, high-recall banding — ORACLE-checked ----
+    // 16 bands × 2 rows/band: a pair at the verify threshold s=0.6 misses
+    // every band with probability (1-0.6²)^16 ≈ 8e-4 (falling fast in s),
+    // and on this corpus recall is exactly 1.0 — so the exact n-gram
+    // Jaccard self-join IS a true oracle for the emitted (id_a, id_b,
+    // jaccard) pairs. Verify guarantees precision 1.0 by construction, so
+    // this green row checks the whole LSH pipeline end-to-end (x03 keeps
+    // the production 8×4 banding, whose two sub-0.8 misses here are the
+    // expected recall curve, not a bug).
+    "q32_minhash_verified" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = docs.where(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" extra tail token")).as("text"))
+      Dedup.minHashNearDups(docs.union(copies), "doc_id", "text",
+        Dedup.MinHashParams(numHashes = 32, bands = 16))
+    }),
+
     // ---- composed multi-step workflow with conditional branching ----
     // process -> extract_fields -> validate_data -> conditional routing
     // (workflows.py:139-208 dispatch; nested conditional in the false arm)
@@ -988,5 +1006,42 @@ object SparkEntry {
         |    list_cosine_similarity(e.embedding, q.qe) AS sim
         |  FROM embeddings e, q)
         |SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rank, vec_id
-        |FROM s ORDER BY rank LIMIT 10""".stripMargin)
+        |FROM s ORDER BY rank LIMIT 10""".stripMargin,
+
+    // exact word-3-shingle Jaccard over documents ∪ planted near-dups:
+    // DuckDB recomputes the shingle SETS as strings (the Spark side hashes
+    // them to 64-bit — collision-free at any realistic shingle count, so
+    // distinct-set sizes agree) and brute-forces the upper-triangle join.
+    // Oracle for BOTH the exact postings-join operator (x07) and the
+    // high-recall LSH pipeline (q32) — same SQL, different planted tail.
+    "x07_ngram_jaccard" -> exactJaccardOracle("jaccard tail"),
+    "q32_minhash_verified" -> exactJaccardOracle("extra tail token"))
+
+  private def exactJaccardOracle(tail: String): String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text || ' $tail' AS text
+       |  FROM documents WHERE doc_id < 50
+       |),
+       |toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts FROM docs
+       |),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+       |         ELSE list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+       |                             for i in generate_series(1, len(ts) - 2)])
+       |    END AS shingles
+       |  FROM toks
+       |),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         len(list_intersect(a.shingles, b.shingles)) AS common,
+       |         len(a.shingles) AS na, len(b.shingles) AS nb
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b, CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+       |FROM pairs
+       |WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.6""".stripMargin
 }
