@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -97,6 +97,132 @@ case class DotProduct(left: Expression, right: Expression) extends FloatVectorFo
     copy(left = l, right = r)
 }
 
+/** Static kernels shared by interpreted eval AND generated code — the
+  * codegen emits a call to these, so both paths are one implementation
+  * (zero interpreted/codegen divergence risk, no CodegenFallback). Inputs
+  * stay `ArrayData`: no per-row boxing, no array copy. The model
+  * parameters (hyperplanes, centroids) ride along as Catalyst reference
+  * objects (`ctx.addReferenceObj`), i.e. task-broadcast constants — the
+  * expression-tier replacement for the former closure-captured broadcast
+  * variables in the row UDFs.
+  */
+object VectorNative {
+
+  /** hyperplane sign bucket — bit p set iff dot(v, planes(p)) >= 0;
+    * matches [[graft.operators.Similarity.bucketOf]] op-for-op.
+    */
+  def lshBucket(v: ArrayData, planes: Array[Array[Double]]): Int = {
+    var b = 0
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val n = math.min(v.numElements(), plane.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (v.isNullAt(i)) 0.0 else v.getFloat(i).toDouble
+        dot += xv * plane(i)
+        i += 1
+      }
+      if (dot >= 0) b |= (1 << p)
+      p += 1
+    }
+    b
+  }
+
+  /** top-`nAssign` centroid list ids by cosine, ties broken by smaller
+    * list id — matches [[graft.operators.Similarity.nearestCentroids]]
+    * (stable sort by (-cos, id), take a) without materializing the sort.
+    */
+  def ivfAssign(
+      v: ArrayData, ids: Array[Int], cents: Array[Array[Float]],
+      nAssign: Int): ArrayData = {
+    val m = cents.length
+    val cos = new Array[Double](m)
+    var j = 0
+    while (j < m) {
+      val c = cents(j)
+      val n = math.min(v.numElements(), c.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (v.isNullAt(i)) 0.0 else v.getFloat(i).toDouble
+        val yv = c(i).toDouble
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+        i += 1
+      }
+      cos(j) = if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+      j += 1
+    }
+    val k = math.min(nAssign, m)
+    val taken = new Array[Boolean](m)
+    val out = new Array[Any](k)
+    var a = 0
+    while (a < k) {
+      var best = -1
+      var j2 = 0
+      while (j2 < m) {
+        if (!taken(j2) && (best < 0 || cos(j2) > cos(best) ||
+            (cos(j2) == cos(best) && ids(j2) < ids(best)))) best = j2
+        j2 += 1
+      }
+      taken(best) = true
+      out(a) = ids(best)
+      a += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** bucket = graft_lsh_bucket(vec) for a fixed hyperplane table — the
+  * codegen replacement for the former `bucketOf` row UDF on the LSH scan
+  * and index-build paths.
+  */
+case class LshBucket(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+  override def prettyName: String = "graft_lsh_bucket"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT>, got $t")
+  }
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(v: Any): Any =
+    VectorNative.lshBucket(v.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VectorNative.lshBucket($v, $ref);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** list ids = graft_ivf_assign(vec) for a fixed trained centroid table —
+  * the codegen replacement for the former IVF-assignment row UDF.
+  */
+case class IvfAssign(
+    child: Expression, ids: Array[Int], cents: Array[Array[Float]],
+    nAssign: Int) extends UnaryExpression {
+  override def prettyName: String = "graft_ivf_assign"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT>, got $t")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    VectorNative.ivfAssign(v.asInstanceOf[ArrayData], ids, cents, nAssign)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("ids", ids, "int[]")
+    val centsRef = ctx.addReferenceObj("cents", cents, "float[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VectorNative.ivfAssign($v, $idsRef, $centsRef, $nAssign);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Column-API surface for the native expressions. */
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.{Bridge => ExpressionUtils}
@@ -121,4 +247,12 @@ object VectorFunctions {
   def dotConst(a: Column, q: Array[Float]): Column =
     ExpressionUtils.column(
       DotProduct(ExpressionUtils.expression(a), floatArrayLit(q)))
+
+  def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
+    ExpressionUtils.column(LshBucket(ExpressionUtils.expression(v), planes))
+
+  def ivfAssign(
+      v: Column, cents: Array[(Int, Array[Float])], nAssign: Int): Column =
+    ExpressionUtils.column(IvfAssign(
+      ExpressionUtils.expression(v), cents.map(_._1), cents.map(_._2), nAssign))
 }

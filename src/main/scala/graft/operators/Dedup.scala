@@ -412,21 +412,15 @@ object Dedup {
   def embeddingNearDups(
       df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double = 0.95, numPlanes: Int = 16, maxBucket: Int = 512): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     val planes = Similarity.randomPlanes(numPlanes, dim, seed = 42L)
-    val bp = spark.sparkContext.broadcast(planes)
 
+    // bucket via the native codegen expression (no row UDF, no broadcast
+    // closure — the plane table rides as an expression reference object)
     val sigs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .as[(Long, Seq[Float])]
-      .mapPartitions { it =>
-        val ps = bp.value
-        it.map { case (id, v) =>
-          val arr = v.toArray
-          (id, Similarity.bucketOf(arr, ps), arr)
-        }
-      }.toDF("id", "bucket", "v")
+      .withColumn("bucket",
+        graft.functions.VectorFunctions.lshBucket(col("v"), planes))
+      .select("id", "bucket", "v")
 
     // upper-triangle over the id-sorted bucket (unique ids decide the
     // struct order, so id_a < id_b by construction)

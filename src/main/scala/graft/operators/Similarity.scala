@@ -198,13 +198,13 @@ object Similarity {
     */
   def ivfIndex(
       df: DataFrame, idCol: String, vecCol: String,
-      cents: Array[(Int, Array[Float])], nAssign: Int = 1): DataFrame = {
-    val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(cents)
-    val assignUdf = udf((v: Seq[Float]) => nearestCentroids(v.toArray, bc.value, nAssign))
+      cents: Array[(Int, Array[Float])], nAssign: Int = 1): DataFrame =
+    // assignment is the native codegen expression graft_ivf_assign (no row
+    // UDF); the centroid table rides along as an expression reference
+    // object — a task-serialized constant, nList × dim floats
     df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .withColumn("ivf_list", explode(assignUdf(col("v"))))
-  }
+      .withColumn("ivf_list",
+        explode(graft.functions.VectorFunctions.ivfAssign(col("v"), cents, nAssign)))
 
   /** IVF approximate top-k: probe the `nProbe` centroid lists nearest to
     * the query, brute-force cosine only within them (a multi-assigned
@@ -249,27 +249,19 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       query: Array[Float], k: Int,
       tables: Int = 8, planesPerTable: Int = 4, seed: Long = 42L): DataFrame = {
-    val spark = df.sparkSession
     val allPlanes: Array[Array[Array[Double]]] =
       Array.tabulate(tables)(t =>
         randomPlanes(planesPerTable, query.length, seed + t * 7919L))
     val qBuckets: Array[Int] = allPlanes.map(bucketOf(query, _))
-    val bp = spark.sparkContext.broadcast(allPlanes)
-    val bq = spark.sparkContext.broadcast(qBuckets)
-    val candUdf = udf { (v: Seq[Float]) =>
-      val arr = v.toArray
-      val ps = bp.value
-      val qs = bq.value
-      var t = 0
-      var hit = false
-      while (t < ps.length && !hit) {
-        if (bucketOf(arr, ps(t)) == qs(t)) hit = true
-        t += 1
-      }
-      hit
-    }
+    // candidate test = OR over tables of (graft_lsh_bucket(v) == query's
+    // bucket) — native codegen expressions; Or short-circuits per row in
+    // the generated code exactly as the former UDF's early-exit loop did
+    val cand = allPlanes.indices
+      .map(t => graft.functions.VectorFunctions
+        .lshBucket(col("v"), allPlanes(t)) === lit(qBuckets(t)))
+      .reduce(_ || _)
     df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .where(candUdf(col("v")))
+      .where(cand)
       .select(col("id"),
         graft.functions.VectorFunctions.cosineConst(col("v"), query).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
@@ -323,22 +315,21 @@ object Similarity {
   def buildLshIndex(
       df: DataFrame, idCol: String, vecCol: String,
       tables: Int = 8, planesPerTable: Int = 4, seed: Long = 42L): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     val allPlanes: Array[Array[Array[Double]]] =
       Array.tabulate(tables)(t => randomPlanes(planesPerTable, dim, seed + t * 7919L))
-    val bp = spark.sparkContext.broadcast(allPlanes)
+    // one membership struct per table, all buckets computed by the native
+    // codegen expression in a single projection, then exploded — no
+    // mapPartitions, no broadcast closure, stays in whole-stage codegen
+    val memberships = array(allPlanes.indices.map(t =>
+      struct(
+        lit(t).as("table"),
+        graft.functions.VectorFunctions
+          .lshBucket(col("v"), allPlanes(t)).as("bucket"))): _*)
     df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .as[(Long, Seq[Float])]
-      .mapPartitions { it =>
-        val ps = bp.value
-        it.flatMap { case (id, v) =>
-          val arr = v.toArray
-          ps.indices.iterator.map(t => (id, t, bucketOf(arr, ps(t)), arr))
-        }
-      }
-      .toDF("id", "table", "bucket", "v")
+      .select(col("id"), col("v"), explode(memberships).as("tb"))
+      .select(col("id"), col("tb.table").as("table"),
+        col("tb.bucket").as("bucket"), col("v"))
   }
 
   /** Persist the index partitioned by (table, bucket): the physical layout

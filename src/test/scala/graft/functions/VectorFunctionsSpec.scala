@@ -89,4 +89,51 @@ class VectorFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(edge(1L).contains(0.0))
     assert(edge(2L).isEmpty)
   }
+
+  test("lshBucket / ivfAssign native expressions: scala-reference parity + codegen, no fallback") {
+    val sp = spark; import sp.implicits._
+    val data = vecs(300, 16)
+    val df = data.toDF("id", "v")
+    val planes = Similarity.randomPlanes(8, 16, seed = 99L)
+    val cents: Array[(Int, Array[Float])] =
+      data.take(6).zipWithIndex.map { case ((_, v), i) => (i, v.toArray) }.toArray
+    val q = df.select(col("id"),
+      VectorFunctions.lshBucket(col("v"), planes).as("b"),
+      VectorFunctions.ivfAssign(col("v"), cents, 3).as("ls"))
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CodegenFallback"),
+      s"lshBucket/ivfAssign fell back to interpreted path:\n$plan")
+    q.collect().foreach { r =>
+      val arr = data(r.getLong(0).toInt)._2.toArray
+      assert(r.getInt(1) == Similarity.bucketOf(arr, planes),
+        s"lshBucket mismatch at id ${r.getLong(0)}")
+      assert(r.getSeq[Int](2) == Similarity.nearestCentroids(arr, cents, 3),
+        s"ivfAssign mismatch at id ${r.getLong(0)}")
+    }
+    // zero vector: every plane dot = 0 >= 0 -> all bits set; assignment
+    // falls back to the id tie-break (all cosines 0.0)
+    val z = Seq((0L, Seq.fill(16)(0.0f))).toDF("id", "v")
+      .select(VectorFunctions.lshBucket(col("v"), planes).as("b"),
+        VectorFunctions.ivfAssign(col("v"), cents, 2).as("ls"))
+      .first()
+    assert(z.getInt(0) == 255 && z.getSeq[Int](1) == Seq(0, 1))
+  }
+
+  test("no row UDFs anywhere in src/main (all custom logic is native expressions or mapPartitions)") {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    assume(java.nio.file.Files.exists(root))
+    val stream = java.nio.file.Files.walk(root)
+    val offenders = try {
+      stream.iterator().asScala
+        .filter(p => p.toString.endsWith(".scala"))
+        .filter { p =>
+          val src = new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8)
+          src.contains("udf(") || src.contains("udf {")
+        }
+        .map(_.toString).toList
+    } finally stream.close()
+    assert(offenders.isEmpty, s"row UDFs found in: $offenders")
+  }
 }
