@@ -75,6 +75,21 @@ object Dedup {
 
   final case class DocSig(id: Long, sig: Array[Long], nShingles: Int)
 
+  /** LSH band keys: FNV-seed fold of each band's signature rows — shared
+    * by the batch pair generation and the streaming suppression so both
+    * agree on what "same bucket" means.
+    */
+  def bandKeys(sig: Array[Long], bands: Int): Array[Long] = {
+    val rowsPerBand = sig.length / bands
+    Array.tabulate(bands) { b =>
+      var key = 0xCBF29CE484222325L
+      var i = b * rowsPerBand
+      val end = i + rowsPerBand
+      while (i < end) { key = sm64(key ^ sig(i)); i += 1 }
+      key
+    }
+  }
+
   /** Candidate pairs via LSH banding + exact-Jaccard verification.
     * Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     */
@@ -84,7 +99,6 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     require(p.numHashes % p.bands == 0, "bands must divide numHashes")
-    val rowsPerBand = p.numHashes / p.bands
 
     val docs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
@@ -110,13 +124,8 @@ object Dedup {
 
     // band exploding: (band, bandKey) -> id
     val banded = sigs.flatMap { d =>
-      (0 until p.bands).iterator.map { b =>
-        val from = b * rowsPerBand
-        var key = 0xCBF29CE484222325L
-        var i = from
-        while (i < from + rowsPerBand) { key = sm64(key ^ d.sig(i)); i += 1 }
-        (b, key, d.id)
-      }
+      val ks = bandKeys(d.sig, p.bands)
+      ks.indices.iterator.map(b => (b, ks(b), d.id))
     }.toDF("band", "key", "id")
 
     // bucket self-pairing with a width cap (protects against degenerate

@@ -277,6 +277,33 @@ object Similarity {
   def writeIvfIndex(index: DataFrame, path: String): Unit =
     index.write.mode("overwrite").partitionBy("ivf_list").parquet(path)
 
+  /** Incrementally extend a materialized IVF index with NEW vectors using
+    * the index's ORIGINAL trained centroids (retraining would silently
+    * re-shape every list — the classic IVF drift trade documented here:
+    * assignments stay consistent with the stored lists; retrain + rebuild
+    * explicitly when the corpus distribution moves). Same append/idempotency
+    * contract as [[appendToLshIndex]]. Returns rows appended.
+    */
+  def appendToIvfIndex(
+      newDf: DataFrame, idCol: String, vecCol: String, path: String,
+      cents: Array[(Int, Array[Float])], nAssign: Int = 4,
+      skipExisting: Boolean = true): Long = {
+    val spark = newDf.sparkSession
+    val base = newDf.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val fresh =
+      if (skipExisting)
+        base.join(spark.read.parquet(path).select("id").distinct(), Seq("id"), "left_anti")
+      else base
+    if (fresh.isEmpty) return 0L
+    val add = ivfIndex(fresh, "id", "v", cents, nAssign)
+    val obs = org.apache.spark.sql.Observation()
+    add.observe(obs, count(lit(1)).as("n"))
+      .write.mode("append").partitionBy("ivf_list").parquet(path)
+    obs.get.apply("n") match {
+      case n: Long => n; case n: Number => n.longValue(); case _ => 0L
+    }
+  }
+
   /** IVF top-k over a MATERIALIZED index (from [[ivfIndex]], typically
     * read back from [[writeIvfIndex]]'s layout): probe membership is an
     * `isin` over the PARTITION column, so only the probed list
@@ -337,6 +364,38 @@ object Similarity {
     */
   def writeLshIndex(index: DataFrame, path: String): Unit =
     index.write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
+
+  /** Incrementally extend a materialized LSH index with NEW vectors — the
+    * engine analog of the reference's incremental cache upsert
+    * (/root/reference/src/mcp/search_manager.py:151-268: new documents are
+    * indexed on arrival, not by rebuilding the store). Signatures for the
+    * new ids are computed with the SAME plane schedule and APPENDED as new
+    * parquet files under their (table, bucket) partitions — existing files
+    * are never rewritten, so the append cost is O(new vectors), not
+    * O(index). With `skipExisting` (default) ids already present are
+    * anti-joined out, making a replayed append idempotent (the id column
+    * is a narrow columnar read of the index; at 100 TB you'd keep a
+    * bloom-filter sidecar instead — same seam). Returns rows appended.
+    */
+  def appendToLshIndex(
+      newDf: DataFrame, idCol: String, vecCol: String, path: String,
+      tables: Int = 8, planesPerTable: Int = 4, seed: Long = 42L,
+      skipExisting: Boolean = true): Long = {
+    val spark = newDf.sparkSession
+    val base = newDf.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val fresh =
+      if (skipExisting)
+        base.join(spark.read.parquet(path).select("id").distinct(), Seq("id"), "left_anti")
+      else base
+    if (fresh.isEmpty) return 0L
+    val add = buildLshIndex(fresh, "id", "v", tables, planesPerTable, seed)
+    val obs = org.apache.spark.sql.Observation()
+    add.observe(obs, count(lit(1)).as("n"))
+      .write.mode("append").partitionBy("table", "bucket").parquet(path)
+    obs.get.apply("n") match {
+      case n: Long => n; case n: Number => n.longValue(); case _ => 0L
+    }
+  }
 
   /** Approximate top-k over a materialized index (from [[buildLshIndex]],
     * typically read back from [[writeLshIndex]]'s layout): the candidate

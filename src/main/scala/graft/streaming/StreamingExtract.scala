@@ -120,6 +120,56 @@ object StreamingExtract {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming NEAR-duplicate suppression — the streaming mirror of the
+    * batch MinHash+LSH candidate generation
+    * ([[graft.operators.Dedup.minHashNearDups]], same shingle → signature
+    * → band-key pipeline via [[graft.operators.Dedup.bandKeys]]): each
+    * document explodes to its `p.bands` (band, key) rows, and the built-in
+    * `dropDuplicatesWithinWatermark` keyed on (band, key) keeps only rows
+    * whose bucket is FRESH within the watermark (state-store-backed, state
+    * bounded by eviction). A document is emitted as NOVEL iff ALL its
+    * bands are fresh; a document sharing ANY band bucket with an earlier
+    * one — exactly the batch operator's candidate-pair condition — is
+    * suppressed. For a near-dup at Jaccard s the suppression probability
+    * is the standard LSH S-curve 1-(1-s^r)^b. Streaming has no second
+    * verify pass, so suppression is candidate-level (documented trade:
+    * bucket-collision false positives suppress; astronomically rare for
+    * 64-bit band keys on non-near documents). Two near-dups inside ONE
+    * micro-batch can split their fresh buckets and both be suppressed —
+    * at-most-once emission per near-dup cluster still holds.
+    *
+    * Output (append mode, emitted when the watermark passes the window):
+    * (id, window_start, n_fresh_bands) for novel documents only.
+    */
+  def nearDupNovel(
+      docs: DataFrame, idCol: String, textCol: String, tsCol: String,
+      watermark: String = "1 hour", windowLength: String = "10 minutes",
+      p: graft.operators.Dedup.MinHashParams =
+        graft.operators.Dedup.MinHashParams()): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.operators.Dedup
+    val base = docs.select(
+      col(idCol).cast("long").as("id"),
+      col(textCol).as("text"),
+      col(tsCol).cast("timestamp").as("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+    val banded = base.mapPartitions(_.flatMap { case (id, text, ts) =>
+      val sh = Dedup.shingles(Option(text).getOrElse(""), p.shingleSize)
+      val sig = Dedup.minHashSignature(sh, p.numHashes)
+      val ks = Dedup.bandKeys(sig, p.bands)
+      ks.indices.iterator.map(b => (id, ts, b, ks(b)))
+    }).toDF("id", "ts", "band", "key")
+    banded
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("band", "key")
+      .groupBy(window(col("ts"), windowLength), col("id"))
+      .agg(count(lit(1)).as("n_fresh_bands"))
+      .where(col("n_fresh_bands") === p.bands)
+      .select(col("id"), col("window.start").as("window_start"),
+        col("n_fresh_bands"))
+  }
+
   /** Running per-conversation progress via custom keyed state
     * (`mapGroupsWithState`) — the streaming counterpart of conversation
     * assembly: as turns arrive, track counts/high-water turn_idx without

@@ -162,6 +162,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().exists(_ => true), "cross-batch duplicates must be dropped")
   }
 
+  test("streaming near-dup suppression drops a cross-batch NEAR duplicate within the watermark") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon").split(" ")
+    def doc(seed: Long): String =
+      (0 until 60).map { i =>
+        vocab(((TranscriptGen.sm64(seed * 131 + i) >>> 33) % vocab.length).toInt)
+      }.mkString(" ")
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingExtract.nearDupNovel(
+      input.toDS().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts",
+      watermark = "30 minutes", windowLength = "5 minutes")
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    val t0 = 1700000000000L
+    // batch 1: ten distinct documents
+    input.addData((0L until 10L).map(i => (i, doc(i), new java.sql.Timestamp(t0))))
+    q.processAllAvailable()
+    // batch 2 (10 min later, inside the watermark): a NEAR duplicate of
+    // doc 0 — same text plus a tail token, different id — and one
+    // genuinely novel document
+    input.addData(Seq(
+      (100L, doc(0) + " tailword", new java.sql.Timestamp(t0 + 10 * 60 * 1000L)),
+      (101L, doc(42), new java.sql.Timestamp(t0 + 10 * 60 * 1000L))))
+    q.processAllAvailable()
+    // batch 3: heartbeat far in the future advances the watermark so the
+    // earlier windows close and emit
+    input.addData(Seq((999L, doc(77), new java.sql.Timestamp(t0 + 3 * 3600 * 1000L))))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.sql("SELECT id FROM neardup_stream")
+      .collect().map(_.getLong(0)).toSet
+    assert((0L until 10L).forall(ids.contains),
+      s"all ten batch-1 originals must emit as novel, got $ids")
+    assert(ids.contains(101L), "the genuinely new batch-2 document must emit")
+    assert(!ids.contains(100L),
+      "the cross-batch NEAR duplicate must be suppressed (shares band buckets with doc 0)")
+    assert(!ids.contains(999L), "heartbeat's window has not closed yet")
+  }
+
   test("session_window sessionization closes sessions in streaming append mode") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
