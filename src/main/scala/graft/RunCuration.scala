@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.pipeline.{CurationJob, DocGen}
+
+/** The curation-chain `spark-submit` entry point — the one-command
+  * artifact a real user runs over a documents corpus (the curation mirror
+  * of [[RunExtraction]]):
+  *
+  *   spark-submit --class graft.RunCuration <jar> \
+  *     --input <parquet dir | synth:NDOCS> --output <dir> \
+  *     [--test <benchmark parquet>] [--run-id rc1] \
+  *     [--id-col doc_id] [--text-col text] [--version-tag <tag>]
+  *
+  * Re-running with the same --output RESUMES: stages whose config hash
+  * and upstream identity match their committed manifest are skipped;
+  * changing a stage's parameters (or its upstream's output) recomputes it
+  * and everything downstream. Prints one JSON line with the per-stage
+  * row-count lineage.
+  */
+object RunCuration {
+
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    require(args.length % 2 == 0,
+      s"odd argument count — every --flag needs a value: ${args.mkString(" ")}")
+    args.sliding(2, 2).map {
+      case Array(k, v) if k.startsWith("--") && !v.startsWith("--") => k.drop(2) -> v
+      case Array(k, v) => sys.error(s"malformed pair '$k $v' — expected --flag value")
+    }.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    val input = opts.getOrElse("input", sys.error("--input required"))
+    val output = opts.getOrElse("output", sys.error("--output required"))
+    val runId = opts.getOrElse("run-id",
+      s"rc-${java.util.UUID.randomUUID().toString.take(8)}")
+    val idCol = opts.getOrElse("id-col", "doc_id")
+    val textCol = opts.getOrElse("text-col", "text")
+    val cfg = CurationJob.Config(
+      version = opts.getOrElse("version-tag", CurationJob.Version))
+
+    val builder = SparkSession.builder()
+      .appName("graft-curation")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "100000")
+    if (!sys.props.contains("spark.master") && !sys.env.contains("MASTER"))
+      builder.master("local[*]")
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs =
+      if (input.startsWith("synth:"))
+        DocGen.dataset(spark, input.stripPrefix("synth:").toLong)
+      else spark.read.parquet(input)
+    val test = opts.get("test").map(spark.read.parquet(_))
+
+    val t0 = System.nanoTime()
+    val stages = CurationJob.run(
+      spark, docs, output, runId, cfg,
+      idCol = idCol, textCol = textCol, inputId = input,
+      test = test, testId = opts.getOrElse("test", ""))
+    val sec = (System.nanoTime() - t0) / 1e9
+
+    val stageJson = stages.map(s =>
+      s"""{"stage":"${s.stage}","rows":${s.rows},"resumed":${s.resumed}}""")
+      .mkString("[", ",", "]")
+    println(
+      s"""{"job":"graft-curation","runId":"$runId","input":"$input",""" +
+        s""""stages":$stageJson,"sec":${f"$sec%.2f"}}""")
+    spark.stop()
+  }
+}

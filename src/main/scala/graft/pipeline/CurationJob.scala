@@ -1,0 +1,244 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{C4, Curation, Dedup, TextAnalysis}
+
+/** The published training-data curation chain composed as ONE resumable
+  * production job — the curation mirror of the extraction tier's
+  * [[Checkpoint]]/`RunExtraction` pair:
+  *
+  *   clean (C4 line+document filters) →
+  *   gates (Gopher duplicate-line/paragraph + top-n-gram repetition) →
+  *   dedup (exact fingerprint + MinHash-LSH near-dup cluster resolution) →
+  *   decontam (benchmark n-gram decontamination; optional) →
+  *   split (deterministic hash train/val/test, partitioned output)
+  *
+  * Every stage materializes to `outDir/stages/<stage>/data` (parquet) and
+  * commits `manifest.json` ATOMICALLY (tmp + rename) only after the data
+  * is durable — a crash mid-stage leaves no manifest and the stage
+  * recomputes on resume; a stale manifest is RETRACTED before its data is
+  * rewritten, so no reader ever sees manifest-present/data-missing. A
+  * stage is resumed (skipped) iff its manifest's config hash AND its
+  * upstream stage's committed identity both match — changing a stage's
+  * parameters (or recomputing its upstream) invalidates it and everything
+  * downstream, never anything upstream. Row counts come from an
+  * `Observation` on the stage's own write job (no post-write count jobs)
+  * and land in the manifest — the per-stage row-count lineage a 100-TB
+  * operator reads before trusting the output.
+  *
+  * Scale shape: stages are separated by durable parquet, so the chain
+  * never re-executes an upstream lineage (no persist; resume survives JVM
+  * death); the C4/Gopher gates are pushable predicates evaluated in the
+  * stage-1/2 scans; dedup/decontam reuse the bucketed operators with
+  * their documented 100-TB bounds.
+  */
+object CurationJob {
+
+  /** Bump on any semantic change to the stage implementations. */
+  val Version: String = "graft-curation-r4"
+
+  final case class Config(
+      c4MinWords: Int = 3, c4MinSentences: Int = 5,
+      maxDupLineFrac: Double = 0.30, maxDupParaFrac: Double = 0.30,
+      maxTop2: Double = 0.20, maxTop3: Double = 0.18, maxTop4: Double = 0.16,
+      minhash: Dedup.MinHashParams = Dedup.MinHashParams(),
+      contamN: Int = 8, contamMinCommon: Int = 2,
+      splits: Seq[(String, Int)] = Seq(("train", 98), ("val", 1), ("test", 1)),
+      version: String = Version)
+
+  final case class StageManifest(
+      stage: String, rows: Long, bytes: Long, runId: String,
+      committedAtEpochMs: Long, configHash: String, upstreamId: String,
+      lineage: String)
+
+  final case class StageResult(stage: String, rows: Long, resumed: Boolean)
+
+  /** The identity downstream stages pin as their `upstreamId`. */
+  def stageIdentity(m: StageManifest): String =
+    s"${m.stage}@${m.runId}@${m.committedAtEpochMs}@${m.rows}"
+
+  def stageDataDir(outDir: String, stage: String): String =
+    s"$outDir/stages/$stage/data"
+
+  private def manifestPath(outDir: String, stage: String): Path =
+    Paths.get(outDir, "stages", stage, "manifest.json")
+
+  private def md5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  def writeStageManifest(outDir: String, m: StageManifest): Unit = {
+    val dir = manifestPath(outDir, m.stage).getParent
+    Files.createDirectories(dir)
+    val json =
+      s"""{"stage":"${esc(m.stage)}","rows":${m.rows},"bytes":${m.bytes},""" +
+        s""""runId":"${esc(m.runId)}","committedAtEpochMs":${m.committedAtEpochMs},""" +
+        s""""configHash":"${esc(m.configHash)}","upstreamId":"${esc(m.upstreamId)}",""" +
+        s""""lineage":"${esc(m.lineage)}"}"""
+    val tmp = dir.resolve(".manifest.json.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(outDir, m.stage),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readStageManifest(outDir: String, stage: String): Option[StageManifest] = {
+    val p = manifestPath(outDir, stage)
+    if (!Files.exists(p)) return None
+    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    import org.json4s._
+    val j = org.json4s.jackson.JsonMethods.parse(s)
+    def str(f: String): String = (j \ f) match { case JString(v) => v; case _ => "" }
+    def lng(f: String): Long = (j \ f) match {
+      case JInt(i) => i.toLong; case JLong(i) => i; case _ => 0L
+    }
+    Some(StageManifest(str("stage"), lng("rows"), lng("bytes"), str("runId"),
+      lng("committedAtEpochMs"), str("configHash"), str("upstreamId"),
+      str("lineage")))
+  }
+
+  private def dirBytes(dir: Path): Long =
+    if (!Files.exists(dir)) 0L
+    else {
+      val stream = Files.walk(dir)
+      try stream.iterator().asScala
+        .filter(Files.isRegularFile(_)).map(Files.size).sum
+      finally stream.close()
+    }
+
+  /** Run (or resume) one stage. `compute` is only evaluated on a miss. */
+  private def runStage(
+      outDir: String, stage: String, runId: String,
+      configHash: String, upstreamId: String, lineage: String,
+      partitionCols: Seq[String] = Seq.empty)(
+      compute: => DataFrame): (StageManifest, Boolean) = {
+    readStageManifest(outDir, stage) match {
+      case Some(m) if m.configHash == configHash && m.upstreamId == upstreamId =>
+        (m, true)
+      case stale =>
+        // retract the stale manifest BEFORE the data is touched: a crash
+        // mid-write must leave "no manifest" (recompute on resume), never
+        // a manifest pointing at replaced/partial data
+        stale.foreach(_ => Files.deleteIfExists(manifestPath(outDir, stage)))
+        val df = compute
+        val obs = org.apache.spark.sql.Observation(s"curation-$stage-$runId")
+        val observed = df.observe(obs, coalesce(count(lit(1)), lit(0L)).as("rows"))
+        val writer = observed.write.mode("overwrite")
+        (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+         else writer).parquet(stageDataDir(outDir, stage))
+        val rows = obs.get.apply("rows") match {
+          case n: Long => n; case n: Number => n.longValue(); case _ => 0L
+        }
+        val m = StageManifest(stage, rows,
+          dirBytes(Paths.get(stageDataDir(outDir, stage))), runId,
+          System.currentTimeMillis(), configHash, upstreamId, lineage)
+        writeStageManifest(outDir, m)
+        (m, false)
+    }
+  }
+
+  /** Run the full chain. `inputId` identifies the INPUT corpus for resume
+    * purposes (e.g. the input path or "synth:N"); `test` enables the
+    * decontamination stage, identified by `testId`. Returns per-stage
+    * (rows, resumed) lineage in chain order.
+    */
+  def run(
+      spark: SparkSession, docs: DataFrame, outDir: String, runId: String,
+      cfg: Config = Config(),
+      idCol: String = "doc_id", textCol: String = "text",
+      inputId: String = "",
+      test: Option[DataFrame] = None, testId: String = ""): Seq[StageResult] = {
+    import spark.implicits._
+    def data(stage: String): DataFrame =
+      spark.read.parquet(stageDataDir(outDir, stage))
+
+    val results = scala.collection.mutable.ListBuffer.empty[StageResult]
+    def record(stage: String, r: (StageManifest, Boolean)): StageManifest = {
+      results += StageResult(stage, r._1.rows, r._2)
+      r._1
+    }
+
+    // ---- 1. C4 clean: line filters, then document gate on the CLEANED
+    // text (the paper's order: line-level first, page gates after)
+    val h1 = md5(s"${cfg.version}|clean|${cfg.c4MinWords}|${cfg.c4MinSentences}")
+    val m1 = record("clean", runStage(outDir, "clean", runId, h1,
+      upstreamId = s"input:${md5(inputId)}", lineage = s"input=$inputId") {
+      docs
+        .select(col(idCol).cast("long").as("doc_id"),
+          C4.cleanedText(col(textCol).cast("string"), cfg.c4MinWords).as("text"))
+        .where(C4.keepDocument(col("text"), cfg.c4MinSentences))
+    })
+
+    // ---- 2. Gopher gates: dup-line/paragraph fractions are pushable
+    // predicates; the top-n-gram rule is the kernel tier (mapPartitions)
+    val h2 = md5(s"${cfg.version}|gates|${cfg.maxDupLineFrac}|${cfg.maxDupParaFrac}|" +
+      s"${cfg.maxTop2}|${cfg.maxTop3}|${cfg.maxTop4}")
+    val m2 = record("gates", runStage(outDir, "gates", runId, h2,
+      upstreamId = stageIdentity(m1), lineage = "gopher repetition gates") {
+      data("clean")
+        .where(TextAnalysis.repetitionGate(
+          col("text"), cfg.maxDupLineFrac, cfg.maxDupParaFrac))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.filter { case (_, t) =>
+          val (f2, f3, f4) = TextAnalysis.topNgramCharFractions234(t)
+          f2 <= cfg.maxTop2 && f3 <= cfg.maxTop3 && f4 <= cfg.maxTop4
+        })
+        .toDF("doc_id", "text")
+    })
+
+    // ---- 3. dedup: exact fingerprint keepers, then MinHash-LSH near-dup
+    // pairs resolved to clusters and non-keepers removed
+    val p = cfg.minhash
+    val h3 = md5(s"${cfg.version}|dedup|${p.numHashes}|${p.bands}|${p.shingleSize}|" +
+      s"${p.threshold}|${p.maxBucket}")
+    val m3 = record("dedup", runStage(outDir, "dedup", runId, h3,
+      upstreamId = stageIdentity(m2), lineage = "exact + minhash near-dup") {
+      val src = data("gates")
+      val withFp = src.withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      val keepIds = withFp.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val exact = src.join(keepIds, Seq("doc_id"), "left_semi")
+      Dedup.dedupeNear(exact, "doc_id", "text", p)
+    })
+
+    // ---- 4. decontamination (optional): drop train docs sharing ≥
+    // minCommon word n-grams with any benchmark document
+    val m4 = test match {
+      case Some(t) =>
+        val h4 = md5(s"${cfg.version}|decontam|${cfg.contamN}|" +
+          s"${cfg.contamMinCommon}|${md5(testId)}")
+        record("decontam", runStage(outDir, "decontam", runId, h4,
+          upstreamId = stageIdentity(m3), lineage = s"test=$testId") {
+          val src = data("dedup")
+          val hits = Curation.contamination(
+            src, "doc_id", "text", t, idCol, textCol,
+            n = cfg.contamN, minCommon = cfg.contamMinCommon)
+            .select(col("train_id").as("doc_id")).distinct()
+          src.join(hits, Seq("doc_id"), "left_anti")
+        })
+      case None => m3
+    }
+
+    // ---- 5. deterministic split, partitioned by split name
+    val h5 = md5(s"${cfg.version}|split|" +
+      cfg.splits.map { case (n, w) => s"$n=$w" }.mkString(","))
+    record("split", runStage(outDir, "split", runId, h5,
+      upstreamId = stageIdentity(m4), lineage = "hash split",
+      partitionCols = Seq("split")) {
+      data(m4.stage)
+        .withColumn("split", Curation.splitAssign(col("doc_id"), cfg.splits))
+    })
+
+    results.toSeq
+  }
+}

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{functions, SparkSession}
 import org.json4s._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -351,6 +351,69 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(deleted2.isEmpty,
       s"c1 is its source's only backup — must survive, deleted $deleted2")
     assert(Backup.listBackups(backupDir).map(_.backupId).sorted == Seq("b4", "c1"))
+  }
+
+  test("curation chain: stage lineage counts, resume, downstream-only invalidation, decontam") {
+    val outDir = Files.createTempDirectory("graft-curation").toString
+    val docs = DocGen.dataset(spark, 800, partitions = 8)
+
+    // ---- cold run: every stage computes, counts chain monotonically
+    val r1 = CurationJob.run(spark, docs, outDir, "c1", inputId = "synth:800")
+    assert(r1.map(_.stage) == Seq("clean", "gates", "dedup", "split"))
+    assert(r1.forall(!_.resumed))
+    val rows = r1.map(s => s.stage -> s.rows).toMap
+    assert(rows("clean") > 0 && rows("clean") < 800,
+      s"C4 must drop some adversarial docs: ${rows("clean")}")
+    assert(rows("gates") < rows("clean"), "repetition gates must drop documents")
+    assert(rows("dedup") < rows("gates"), "planted duplicates must be removed")
+    assert(rows("split") == rows("dedup"))
+    // manifest rows == actual parquet rows for every stage (the lineage a
+    // downstream consumer trusts)
+    r1.foreach { s =>
+      assert(spark.read.parquet(CurationJob.stageDataDir(outDir, s.stage)).count() == s.rows,
+        s"manifest/parquet row mismatch at ${s.stage}")
+    }
+    // dedup output has no two docs with equal fingerprint
+    val dd = spark.read.parquet(CurationJob.stageDataDir(outDir, "dedup"))
+    assert(dd.groupBy(graft.operators.TextAnalysis.fingerprint(functions.col("text")))
+      .count().where(functions.col("count") > 1).count() == 0,
+      "exact duplicates must be gone after the dedup stage")
+    // split partitions cover the output exactly
+    val split = spark.read.parquet(CurationJob.stageDataDir(outDir, "split"))
+    assert(split.select("split").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("train", "val", "test")))
+    assert(split.count() == rows("split"))
+
+    // ---- resume: identical config skips every stage
+    val r2 = CurationJob.run(spark, docs, outDir, "c2", inputId = "synth:800")
+    assert(r2.forall(_.resumed), s"full resume expected, got $r2")
+
+    // ---- invalidation: a gates-stage parameter change recomputes gates
+    // and everything downstream but leaves clean untouched
+    val cfg3 = CurationJob.Config(maxDupLineFrac = 0.25)
+    val r3 = CurationJob.run(spark, docs, outDir, "c3", cfg3, inputId = "synth:800")
+    val resumed3 = r3.map(s => s.stage -> s.resumed).toMap
+    assert(resumed3("clean") && !resumed3("gates") &&
+      !resumed3("dedup") && !resumed3("split"), s"got $r3")
+    val rows3 = r3.map(s => s.stage -> s.rows).toMap
+
+    // ---- decontamination: plant a benchmark of 3 curated docs — each
+    // shares all its 8-gram shingles with its train source, so those
+    // (plus any other train doc sharing >= 2 such 8-grams) are removed;
+    // split recomputes on the new upstream (same cfg3 so clean..dedup
+    // resume; the dedup parquet is RE-read because r3 overwrote it)
+    val bench = spark.read.parquet(CurationJob.stageDataDir(outDir, "dedup"))
+      .orderBy(functions.col("doc_id")).limit(3)
+    val r4 = CurationJob.run(spark, docs, outDir, "c4", cfg3,
+      inputId = "synth:800", test = Some(bench), testId = "bench-3")
+    assert(r4.map(_.stage) == Seq("clean", "gates", "dedup", "decontam", "split"))
+    val resumed4 = r4.map(s => s.stage -> s.resumed).toMap
+    assert(resumed4("clean") && resumed4("gates") && resumed4("dedup") &&
+      !resumed4("decontam") && !resumed4("split"), s"got $r4")
+    val decontamRows = r4.find(_.stage == "decontam").get.rows
+    assert(decontamRows <= rows3("dedup") - 3 && decontamRows > 0,
+      s"decontam must remove at least the 3 planted benchmark docs: " +
+        s"$decontamRows of ${rows3("dedup")}")
   }
 
   test("partition-count invariance: same output at 2 and 16 input partitions") {

@@ -1,0 +1,54 @@
+// Cold → resume → stage-invalidation drive of the curation spark-submit
+// surface (graft.RunCuration) — validates per-stage manifest lineage
+// against the stage parquet at the production entry point.
+// Run via the verify skill's MainGenericRunner recipe; expects the packaged
+// jar + /opt/spark/jars on the classpath. Exits nonzero on any mismatch.
+import org.apache.spark.sql.SparkSession
+import graft.pipeline.CurationJob
+
+val out = java.nio.file.Files.createTempDirectory("graft-curation-drive").toString
+def run(extra: String*): String = {
+  val base = Array("--input", "synth:3000", "--output", out)
+  val bout = new java.io.ByteArrayOutputStream()
+  Console.withOut(new java.io.PrintStream(bout)) {
+    graft.RunCuration.main(base ++ extra)
+  }
+  bout.toString("UTF-8").linesIterator.find(_.startsWith("{")).get
+}
+def stages(json: String): Seq[(String, Long, Boolean)] =
+  """\{"stage":"(\w+)","rows":(\d+),"resumed":(\w+)\}""".r
+    .findAllMatchIn(json)
+    .map(m => (m.group(1), m.group(2).toLong, m.group(3).toBoolean)).toSeq
+
+// 1) cold run: all four stages compute, counts decrease monotonically
+val s1 = stages(run("--run-id", "a"))
+assert(s1.map(_._1) == Seq("clean", "gates", "dedup", "split"), s1)
+assert(s1.forall(!_._3), s"cold run must compute every stage: $s1")
+val Seq(clean1, gates1, dedup1, split1) = s1.map(_._2)
+assert(clean1 > 0 && clean1 < 3000 && gates1 < clean1 && dedup1 < gates1
+  && split1 == dedup1, s1)
+
+// 2) resume: every stage skipped, identical rows
+val s2 = stages(run("--run-id", "b"))
+assert(s2.forall(_._3) && s2.map(_._2) == s1.map(_._2), s"resume broke: $s2")
+
+// 3) invalidation: a version-tag change recomputes every stage with the
+// same results (content-deterministic chain)
+val s3 = stages(run("--run-id", "c", "--version-tag", "drive-v2"))
+assert(s3.forall(!_._3) && s3.map(_._2) == s1.map(_._2), s"invalidation: $s3")
+
+// 4) ground truth: every stage's parquet row count equals its manifest
+val spark = SparkSession.builder().getOrCreate()
+spark.sparkContext.setLogLevel("WARN")
+s3.foreach { case (stage, rows, _) =>
+  val onDisk = spark.read.parquet(CurationJob.stageDataDir(out, stage)).count()
+  assert(onDisk == rows, s"$stage parquet $onDisk != manifest $rows")
+  val m = CurationJob.readStageManifest(out, stage).get
+  assert(m.rows == rows && m.runId == "c", s"$stage manifest $m")
+}
+// split partitions are readable per split (partition pruning layout)
+val train = spark.read.parquet(CurationJob.stageDataDir(out, "split"))
+  .where("split = 'train'").count()
+assert(train > 0 && train <= s3.last._2, s"train=$train")
+println(s"DRIVECURATION OK: stages=${s3.map(t => t._1 + "=" + t._2).mkString(",")} train=$train")
+spark.stop()
