@@ -530,12 +530,18 @@ object SparkEntry {
       val idx = Similarity.buildLshIndex(emb, "vec_id", "embedding")
       Similarity.lshTopKIndexed(idx, q, 10)
     }),
-    // embedding-cosine near-dup via hyperplane LSH
+    // embedding-cosine near-dup via hyperplane LSH — ORACLE-checked:
+    // planted copies are bit-identical vectors (always same bucket ⇒
+    // recall 1.0 by construction) and the max NATURAL pair cosine in the
+    // uniform synthetic table is ~0.51, so the ≥0.99 emitted set is
+    // exactly the brute-force set; cosine rounded to 4dp on both sides
+    // (identical-vector cosine is 1.0±ulp in either engine)
     "x06_embed_neardup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val copies = emb.where(col("vec_id") < 50)
         .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
       Dedup.embeddingNearDups(emb.union(copies), "vec_id", "embedding", minCosine = 0.99)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
     }),
     // exact n-gram Jaccard near-dup (inverted-index postings join)
     "x07_ngram_jaccard" -> ((s, dir) => {
@@ -1015,7 +1021,23 @@ object SparkEntry {
     // Oracle for BOTH the exact postings-join operator (x07) and the
     // high-recall LSH pipeline (q32) — same SQL, different planted tail.
     "x07_ngram_jaccard" -> exactJaccardOracle("jaccard tail"),
-    "q32_minhash_verified" -> exactJaccardOracle("extra tail token"))
+    "q32_minhash_verified" -> exactJaccardOracle("extra tail token"),
+
+    // brute-force cosine pairs over embeddings ∪ identical planted copies:
+    // at the 0.99 threshold only the planted identical pairs qualify
+    // (max natural cosine ≈ 0.51), which the hyperplane-LSH operator
+    // finds with recall 1.0 by construction (identical vector ⇒ identical
+    // bucket) — a true oracle for the whole bucketed pipeline
+    "x06_embed_neardup" ->
+      """WITH vecs AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 50
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+        |FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99""".stripMargin)
 
   private def exactJaccardOracle(tail: String): String =
     s"""WITH docs AS (
