@@ -1028,6 +1028,36 @@ object SparkEntry {
     // (max natural cosine ≈ 0.51), which the hyperplane-LSH operator
     // finds with recall 1.0 by construction (identical vector ⇒ identical
     // bucket) — a true oracle for the whole bucketed pipeline
+    // benchmark decontamination, brute-forced: distinct word-8-shingle
+    // sets per doc (strings — the Spark side hashes them, collision-free)
+    // intersected across every (test, train) pair; pairs sharing >= 2
+    // shingles are contaminated. Exact because the df cap (1024) exceeds
+    // any possible document frequency at gate SF
+    "x15_contamination" ->
+      """WITH te0 AS (
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |         regexp_split_to_array(trim(lower('prefix noise ' || text)), '\s+') AS ts
+        |  FROM documents WHERE doc_id % 37 = 0
+        |),
+        |tr0 AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM documents
+        |),
+        |te AS (
+        |  SELECT doc_id, CASE WHEN len(ts) < 8 THEN [array_to_string(ts, ' ')]
+        |    ELSE list_distinct([array_to_string(ts[i:i+7], ' ')
+        |                        for i in generate_series(1, len(ts) - 7)]) END AS sh
+        |  FROM te0
+        |),
+        |tr AS (
+        |  SELECT doc_id, CASE WHEN len(ts) < 8 THEN [array_to_string(ts, ' ')]
+        |    ELSE list_distinct([array_to_string(ts[i:i+7], ' ')
+        |                        for i in generate_series(1, len(ts) - 7)]) END AS sh
+        |  FROM tr0
+        |)
+        |SELECT te.doc_id AS test_id, tr.doc_id AS train_id,
+        |       CAST(len(list_intersect(te.sh, tr.sh)) AS BIGINT) AS common
+        |FROM te JOIN tr ON len(list_intersect(te.sh, tr.sh)) >= 2""".stripMargin,
+
     "x06_embed_neardup" ->
       """WITH vecs AS (
         |  SELECT vec_id, embedding FROM embeddings

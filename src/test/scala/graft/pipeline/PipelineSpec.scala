@@ -414,6 +414,11 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(decontamRows <= rows3("dedup") - 3 && decontamRows > 0,
       s"decontam must remove at least the 3 planted benchmark docs: " +
         s"$decontamRows of ${rows3("dedup")}")
+
+    // the whole chain obeys the cache-lifecycle invariant: four full runs
+    // (incl. minhash dedup and decontamination) left nothing persisted
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "curation chain must leave no persisted RDDs behind")
   }
 
   test("partition-count invariance: same output at 2 and 16 input partitions") {
