@@ -130,6 +130,7 @@ object Bench {
     // once, query cheap" claim is a measured number (the composed
     // x20/x21 queries above time build+query together). Query legs are
     // best-of-2 (steady state); build legs are single cold builds.
+    val annTmp = java.nio.file.Files.createTempDirectory("graft-bench-ann")
     val annSplit: Seq[(String, Double)] =
       try {
         import org.apache.spark.sql.functions.col
@@ -137,7 +138,7 @@ object Bench {
         val emb = sparkQ.read.parquet(s"$sfDir/embeddings.parquet")
         val qv = emb.where(col("vec_id") === 0)
           .select("embedding").first().getSeq[Float](0).toArray
-        val tmp = java.nio.file.Files.createTempDirectory("graft-bench-ann").toString
+        val tmp = annTmp.toString
         val (_, lshBuild) = time {
           Similarity.writeLshIndex(
             Similarity.buildLshIndex(emb, "vec_id", "embedding"), s"$tmp/lsh")
@@ -161,6 +162,13 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ann split failed: ${e.getMessage}")
         Seq.empty
+      } finally {
+        // the bench writes ~12x the embeddings table here; repeated
+        // best-of-N runs must not accumulate copies under /tmp
+        val stream = java.nio.file.Files.walk(annTmp)
+        try stream.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally stream.close()
       }
     sparkQ.stop()
 

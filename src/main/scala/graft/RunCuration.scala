@@ -59,18 +59,24 @@ object RunCuration {
     val test = opts.get("test").map(spark.read.parquet(_))
 
     val t0 = System.nanoTime()
+    // resume identity = path + file-listing fingerprint, so new/changed
+    // files under the same --input invalidate the chain instead of
+    // silently resuming over stale stage outputs
     val stages = CurationJob.run(
       spark, docs, output, runId, cfg,
-      idCol = idCol, textCol = textCol, inputId = input,
-      test = test, testId = opts.getOrElse("test", ""))
+      idCol = idCol, textCol = textCol,
+      inputId = CurationJob.inputIdentity(spark, input),
+      test = test,
+      testId = CurationJob.inputIdentity(spark, opts.getOrElse("test", "")))
     val sec = (System.nanoTime() - t0) / 1e9
 
     val stageJson = stages.map(s =>
-      s"""{"stage":"${s.stage}","rows":${s.rows},"resumed":${s.resumed}}""")
+      s"""{"stage":"${CurationJob.esc(s.stage)}","rows":${s.rows},"resumed":${s.resumed}}""")
       .mkString("[", ",", "]")
     println(
-      s"""{"job":"graft-curation","runId":"$runId","input":"$input",""" +
-        s""""stages":$stageJson,"sec":${f"$sec%.2f"}}""")
+      s"""{"job":"graft-curation","runId":"${CurationJob.esc(runId)}",""" +
+        s""""input":"${CurationJob.esc(input)}","stages":$stageJson,""" +
+        s""""sec":${f"$sec%.2f"}}""")
     spark.stop()
   }
 }

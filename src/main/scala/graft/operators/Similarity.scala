@@ -294,10 +294,11 @@ object Similarity {
       if (skipExisting)
         base.join(spark.read.parquet(path).select("id").distinct(), Seq("id"), "left_anti")
       else base
-    if (fresh.isEmpty) return 0L
+    // no pre-count: the anti-join executes exactly once, inside the
+    // write job; an all-duplicate batch writes no files and observes 0
     val add = ivfIndex(fresh, "id", "v", cents, nAssign)
     val obs = org.apache.spark.sql.Observation()
-    add.observe(obs, count(lit(1)).as("n"))
+    add.observe(obs, coalesce(count(lit(1)), lit(0L)).as("n"))
       .write.mode("append").partitionBy("ivf_list").parquet(path)
     obs.get.apply("n") match {
       case n: Long => n; case n: Number => n.longValue(); case _ => 0L
@@ -328,9 +329,11 @@ object Similarity {
   // ---------- materialized LSH index (the 100-TB query path) ----------
 
   /** Build the MATERIALIZED multi-table LSH index: one membership row per
-    * (vector, table) — columns (id, table, bucket, v). One narrow pass
-    * (broadcast planes, mapPartitions, no shuffle); storage is ×`tables`,
-    * the standard multi-table LSH trade. Mirrors the reference's persisted
+    * (vector, table) — columns (id, table, bucket, v). One narrow
+    * whole-stage-codegen pass (`graft_lsh_bucket` projection + explode —
+    * no mapPartitions, no shuffle; the planes ride as expression
+    * reference objects); storage is ×`tables`, the standard multi-table
+    * LSH trade. Mirrors the reference's persisted
     * embedding index (semantic_search.py:137-170: embeddings computed once
     * into search_manager tables, not per query).
     *
@@ -338,13 +341,18 @@ object Similarity {
     * query then reads ≤ `tables` bucket directories instead of the corpus.
     * Plane construction is identical to [[lshTopK]] (same seed schedule),
     * so indexed and scan results match exactly.
+    *
+    * `dim` (vector dimension) is probed from the data when negative;
+    * pass it explicitly when `df`'s lineage is expensive or possibly
+    * empty (the append path does).
     */
   def buildLshIndex(
       df: DataFrame, idCol: String, vecCol: String,
-      tables: Int = 8, planesPerTable: Int = 4, seed: Long = 42L): DataFrame = {
-    val dim = df.select(size(col(vecCol))).first().getInt(0)
+      tables: Int = 8, planesPerTable: Int = 4, seed: Long = 42L,
+      dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else df.select(size(col(vecCol))).first().getInt(0)
     val allPlanes: Array[Array[Array[Double]]] =
-      Array.tabulate(tables)(t => randomPlanes(planesPerTable, dim, seed + t * 7919L))
+      Array.tabulate(tables)(t => randomPlanes(planesPerTable, d, seed + t * 7919L))
     // one membership struct per table, all buckets computed by the native
     // codegen expression in a single projection, then exploded — no
     // mapPartitions, no broadcast closure, stays in whole-stage codegen
@@ -383,14 +391,19 @@ object Similarity {
       skipExisting: Boolean = true): Long = {
     val spark = newDf.sparkSession
     val base = newDf.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    // probe the dimension from the NEW batch (cheap narrow take(1) —
+    // never from the anti-joined lineage, which must execute exactly
+    // once, inside the write job)
+    val probe = base.select(size(col("v"))).take(1)
+    if (probe.isEmpty) return 0L
     val fresh =
       if (skipExisting)
         base.join(spark.read.parquet(path).select("id").distinct(), Seq("id"), "left_anti")
       else base
-    if (fresh.isEmpty) return 0L
-    val add = buildLshIndex(fresh, "id", "v", tables, planesPerTable, seed)
+    val add = buildLshIndex(fresh, "id", "v", tables, planesPerTable, seed,
+      dim = probe.head.getInt(0))
     val obs = org.apache.spark.sql.Observation()
-    add.observe(obs, count(lit(1)).as("n"))
+    add.observe(obs, coalesce(count(lit(1)), lit(0L)).as("n"))
       .write.mode("append").partitionBy("table", "bucket").parquet(path)
     obs.get.apply("n") match {
       case n: Long => n; case n: Number => n.longValue(); case _ => 0L

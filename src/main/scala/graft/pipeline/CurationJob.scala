@@ -75,8 +75,36 @@ object CurationJob {
       .digest(s.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
 
-  private def esc(s: String): String =
+  private[graft] def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  /** Content-sensitive identity of an input path for resume keying: the
+    * order-independent combination of every file's (path, length,
+    * mtime). Appending/replacing files under the same --input path
+    * therefore INVALIDATES stage 1 (and downstream) on the next run —
+    * resume never silently serves a curation of yesterday's listing.
+    * Non-path inputs (synth:N) are identified by their descriptor, which
+    * fully determines their content.
+    */
+  def inputIdentity(spark: SparkSession, input: String): String = {
+    if (input.isEmpty || !input.contains("/")) return input
+    try {
+      val p = new org.apache.hadoop.fs.Path(input)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var acc = 0L
+      var n = 0L
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        acc ^= TranscriptGen.sm64(f.getPath.toString.hashCode.toLong ^
+          (f.getLen * 0x9E3779B97F4A7C15L) ^ f.getModificationTime)
+        n += 1
+      }
+      s"$input@n=$n,h=${java.lang.Long.toHexString(acc)}"
+    } catch {
+      case scala.util.control.NonFatal(_) => input // unlistable: path-keyed
+    }
+  }
 
   def writeStageManifest(outDir: String, m: StageManifest): Unit = {
     val dir = manifestPath(outDir, m.stage).getParent

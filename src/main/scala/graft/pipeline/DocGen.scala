@@ -69,11 +69,16 @@ object DocGen {
 
   /** The text of document `id` — planted exact dups every 37 ids, near
     * dups every 41 ids (ids divisible by both prefer the exact rule).
+    * RECURSIVE on the referenced neighbor, so the planted copy matches
+    * the neighbor's ACTUAL text even when that neighbor is itself
+    * planted (id 370 = text of 369 = near-dup of 367 — still an exact
+    * duplicate of a real document; 37 and 41 are coprime, so reference
+    * chains stay short and the recursion is trivially bounded).
     */
   def docText(id: Long): String =
-    if (id > 0 && id % 37L == 0L) baseText(id - 1L)
+    if (id > 0 && id % 37L == 0L) docText(id - 1L)
     else if (id > 1 && id % 41L == 0L)
-      baseText(id - 2L) + "\nnear duplicate tail sentence marker."
+      docText(id - 2L) + "\nnear duplicate tail sentence marker."
     else baseText(id)
 
   /** Distributed generation: (doc_id, text), `n` documents. */

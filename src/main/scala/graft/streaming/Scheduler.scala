@@ -72,6 +72,9 @@ object Scheduler {
   final class Runner(
       jobs: Seq[Job], startMs: Long, stateFile: Option[Path] = None) {
     require(jobs.map(_.name).distinct.size == jobs.size, "job names must be unique")
+    // names are persisted as raw JSON keys — constrain instead of escaping
+    require(jobs.forall(_.name.matches("[A-Za-z0-9._-]+")),
+      "job names must match [A-Za-z0-9._-]+ (they key the persisted state)")
 
     private val lastRun = scala.collection.mutable.Map.empty[String, Long]
     stateFile.filter(Files.exists(_)).foreach { p =>
@@ -89,22 +92,33 @@ object Scheduler {
       jobs.filter(j => j.enabled && nextDue(j) <= nowMs)
 
     /** Execute every due enabled job once; persist state; return names
-      * executed (in registration order — the reference's list order).
+      * executed successfully (in registration order — the reference's
+      * list order). A throwing action is ISOLATED: later due jobs still
+      * run, successful jobs' clocks still persist (so a restart never
+      * replays them), and the failed job stays due — it retries next
+      * tick (the reference's error path logs and continues,
+      * scheduler.py:468-476).
       */
     def runPending(nowMs: Long): Seq[String] = {
-      val ran = due(nowMs).map { j =>
-        j.action()
-        lastRun(j.name) = nowMs
-        j.name
+      val ran = scala.collection.mutable.ListBuffer.empty[String]
+      due(nowMs).foreach { j =>
+        try {
+          j.action()
+          lastRun(j.name) = nowMs
+          ran += j.name
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[scheduler] job '${j.name}' failed: ${e.getMessage}")
+        }
       }
       if (ran.nonEmpty) persist()
-      ran
+      ran.toSeq
     }
 
     private def persist(): Unit = stateFile.foreach { p =>
       if (p.getParent != null) Files.createDirectories(p.getParent)
       val json = lastRun.toSeq.sortBy(_._1)
-        .map { case (k, v) => s""""${k.replace("\"", "")}":$v""" }
+        .map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}")
       val tmp = p.resolveSibling("." + p.getFileName.toString + ".tmp")
       Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))

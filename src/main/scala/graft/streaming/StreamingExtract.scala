@@ -146,6 +146,7 @@ object StreamingExtract {
       watermark: String = "1 hour", windowLength: String = "10 minutes",
       p: graft.operators.Dedup.MinHashParams =
         graft.operators.Dedup.MinHashParams()): DataFrame = {
+    require(p.numHashes % p.bands == 0, "bands must divide numHashes")
     val spark = docs.sparkSession
     import spark.implicits._
     import graft.operators.Dedup

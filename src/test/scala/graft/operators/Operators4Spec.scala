@@ -100,6 +100,31 @@ class Operators4Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaIndex == viaFresh)
   }
 
+  test("de-UDF'd LSH plans: index build is one narrow codegen projection; scan top-k stays codegen") {
+    val sp = spark; import sp.implicits._
+    val df = vecs(0L, 200L).toDF("vec_id", "embedding")
+    val query = vecs(5L, 6L).head._2.toArray
+
+    // build: project + explode, no shuffle, no RDD mapPartitions, no
+    // interpreted fallback — the whole membership table in one pass
+    val idx = Similarity.buildLshIndex(df, "vec_id", "embedding")
+    assert(idx.count() == 200L * 8)
+    val buildPlan = idx.queryExecution.executedPlan.toString
+    assert(!buildPlan.contains("Exchange"), s"index build must not shuffle:\n$buildPlan")
+    assert(!buildPlan.contains("CodegenFallback"), s"native expr fell back:\n$buildPlan")
+    assert(!buildPlan.contains("MapPartitions"), s"explode path, not an RDD map:\n$buildPlan")
+
+    // scan-form top-k: codegen candidate filter + TakeOrdered (per-
+    // partition top-k, no full sort shuffle)
+    val topk = Similarity.lshTopK(df, "vec_id", "embedding", query, 10)
+    topk.collect()
+    val scanPlan = topk.queryExecution.executedPlan.toString
+    assert(scanPlan.contains("TakeOrderedAndProject"), scanPlan)
+    assert(!scanPlan.contains("CodegenFallback"), scanPlan)
+    assert(!scanPlan.contains("BatchEvalPython") && !scanPlan.contains("SQLAppRow"),
+      scanPlan)
+  }
+
   private def countParquetFiles(dir: String): Long = {
     val stream = Files.walk(java.nio.file.Paths.get(dir))
     try {

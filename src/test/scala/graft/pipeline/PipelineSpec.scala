@@ -421,6 +421,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "curation chain must leave no persisted RDDs behind")
   }
 
+  test("inputIdentity fingerprints the file listing: appends under the same path invalidate") {
+    val dir = Files.createTempDirectory("graft-inpid").toString + "/d"
+    DocGen.dataset(spark, 10).write.parquet(dir)
+    val id1 = CurationJob.inputIdentity(spark, dir)
+    assert(id1.startsWith(dir + "@n="), s"path inputs must carry a listing fingerprint: $id1")
+    DocGen.dataset(spark, 5).write.mode("append").parquet(dir)
+    val id2 = CurationJob.inputIdentity(spark, dir)
+    assert(id1 != id2, "appending files must change the identity (stage 1 invalidates)")
+    // synthetic descriptors fully determine content — identity is the descriptor
+    assert(CurationJob.inputIdentity(spark, "synth:800") == "synth:800")
+  }
+
   test("partition-count invariance: same output at 2 and 16 input partitions") {
     val a = ExtractionJob.extract(TranscriptGen.dataset(spark, 15, partitions = 2)).collect()
     val b = ExtractionJob.extract(TranscriptGen.dataset(spark, 15, partitions = 16)).collect()

@@ -80,6 +80,28 @@ class SchedulerSpec extends AnyFunSuite {
     assert(r2.runPending(t0 + 20 * Min) == Seq("j") && runs == 2)
   }
 
+  test("a failing job is isolated: later jobs run, successes persist, the failure retries") {
+    val state = Files.createTempDirectory("graft-sched-fail").resolve("state.json")
+    var aRuns = 0; var bAttempts = 0; var cRuns = 0
+    var bFail = true
+    def mk() = new Runner(Seq(
+      Job("a", Interval(10 * Min), () => aRuns += 1),
+      Job("b", Interval(10 * Min), () => { bAttempts += 1; if (bFail) sys.error("boom") }),
+      Job("c", Interval(10 * Min), () => cRuns += 1)),
+      startMs = t0, stateFile = Some(state))
+
+    val r1 = mk()
+    assert(r1.runPending(t0 + 10 * Min) == Seq("a", "c"),
+      "b's failure must not abort the tick or skip c")
+    assert(aRuns == 1 && bAttempts == 1 && cRuns == 1)
+    // restart: a and c were persisted despite b's failure (no replay);
+    // b is still due and retries
+    bFail = false
+    val r2 = mk()
+    assert(r2.runPending(t0 + 10 * Min + 1) == Seq("b"))
+    assert(aRuns == 1 && bAttempts == 2 && cRuns == 1)
+  }
+
   test("a scheduled AvailableNow drain composes with the runner (smoke)") {
     // the engine-shaped action: each tick drains whatever is pending —
     // here a counter stands in for StreamingExtract.runAvailableNow,
