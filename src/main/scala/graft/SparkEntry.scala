@@ -397,6 +397,30 @@ object SparkEntry {
         Dedup.MinHashParams(numHashes = 32, bands = 16))
     }),
 
+    // ---- full curation chain over the documents table (rows-only: the
+    // gates stage's top-n-gram rule is kernel-tier, not SQL) — runs the
+    // ACTUAL resumable CurationJob, then reports the per-stage row-count
+    // lineage a downstream consumer reads
+    "x22_curation_chain" -> ((s, dir) => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft-x22").toString
+      // the flat synthetic text gets line/sentence structure derived
+      // in-query (same deterministic trick as q26/q29), so the C4 line
+      // gates have real lines to judge
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"), "table", "table."), "\\. ", ".\n").as("text"))
+      val lineage = graft.pipeline.CurationJob
+        .run(s, docs, out, "x22", inputId = s"x22:$dir")
+      // the lineage is computed eagerly, so the staged parquet can go
+      // before returning (repeated bench/verify runs must not fill /tmp)
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+      lineage.map(r => (r.stage, r.rows)).toDF("stage", "rows")
+    }),
+
     // ---- composed multi-step workflow with conditional branching ----
     // process -> extract_fields -> validate_data -> conditional routing
     // (workflows.py:139-208 dispatch; nested conditional in the false arm)
