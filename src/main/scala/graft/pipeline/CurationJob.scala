@@ -16,9 +16,18 @@ import graft.operators.{C4, Curation, Dedup, TextAnalysis}
   *
   *   clean (C4 line+document filters) →
   *   gates (Gopher duplicate-line/paragraph + top-n-gram repetition) →
-  *   dedup (exact fingerprint + MinHash-LSH near-dup cluster resolution) →
+  *   exact (fingerprint dedup) →
+  *   neardup (MinHash-LSH pairs → cluster resolution → removal) →
   *   decontam (benchmark n-gram decontamination; optional) →
   *   split (deterministic hash train/val/test, partitioned output)
+  *
+  * Exact and near dedup are SEPARATE stages (unlike the composed
+  * [[graft.operators.Dedup.dedupeNear]] convenience): each corpus-wide
+  * computation then executes exactly once — the near-dup stage
+  * materializes its candidate PAIR list to scratch parquet, so cluster
+  * resolution and the final anti-join both read the tiny pair file
+  * instead of re-deriving the MinHash banding DAG, and resume
+  * granularity sits at every expensive step.
   *
   * Every stage materializes to `outDir/stages/<stage>/data` (parquet) and
   * commits `manifest.json` ATOMICALLY (tmp + rename) only after the data
@@ -42,7 +51,7 @@ import graft.operators.{C4, Curation, Dedup, TextAnalysis}
 object CurationJob {
 
   /** Bump on any semantic change to the stage implementations. */
-  val Version: String = "graft-curation-r4"
+  val Version: String = "graft-curation-r4b"
 
   final case class Config(
       c4MinWords: Int = 3, c4MinSentences: Int = 5,
@@ -224,46 +233,61 @@ object CurationJob {
         .toDF("doc_id", "text")
     })
 
-    // ---- 3. dedup: exact fingerprint keepers, then MinHash-LSH near-dup
-    // pairs resolved to clusters and non-keepers removed
-    val p = cfg.minhash
-    val h3 = md5(s"${cfg.version}|dedup|${p.numHashes}|${p.bands}|${p.shingleSize}|" +
-      s"${p.threshold}|${p.maxBucket}")
-    val m3 = record("dedup", runStage(outDir, "dedup", runId, h3,
-      upstreamId = stageIdentity(m2), lineage = "exact + minhash near-dup") {
+    // ---- 3. exact dedup: keeper = min id per normalized fingerprint
+    val h3 = md5(s"${cfg.version}|exact")
+    val m3 = record("exact", runStage(outDir, "exact", runId, h3,
+      upstreamId = stageIdentity(m2), lineage = "exact fingerprint dedup") {
       val src = data("gates")
-      val withFp = src.withColumn("fp", TextAnalysis.fingerprint(col("text")))
-      val keepIds = withFp.groupBy(col("fp"))
+      val keepIds = src
+        .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-      val exact = src.join(keepIds, Seq("doc_id"), "left_semi")
-      Dedup.dedupeNear(exact, "doc_id", "text", p)
+      src.join(keepIds, Seq("doc_id"), "left_semi")
     })
 
-    // ---- 4. decontamination (optional): drop train docs sharing ≥
+    // ---- 4. near dedup: the candidate PAIR list is materialized to
+    // scratch parquet so cluster resolution and the removal anti-join
+    // both read the (tiny) pairs instead of re-deriving the MinHash
+    // banding DAG — every corpus-wide computation runs exactly once
+    val p = cfg.minhash
+    val h4 = md5(s"${cfg.version}|neardup|${p.numHashes}|${p.bands}|" +
+      s"${p.shingleSize}|${p.threshold}|${p.maxBucket}")
+    val m4 = record("neardup", runStage(outDir, "neardup", runId, h4,
+      upstreamId = stageIdentity(m3), lineage = "minhash near-dup clusters") {
+      val src = data("exact")
+      val pairsPath = s"$outDir/stages/neardup/pairs"
+      Dedup.minHashNearDups(src, "doc_id", "text", p)
+        .write.mode("overwrite").parquet(pairsPath)
+      val losers = Dedup.resolveClusters(spark.read.parquet(pairsPath))
+        .where(col("id") =!= col("keep_id"))
+        .select(col("id").as("doc_id"))
+      src.join(losers, Seq("doc_id"), "left_anti")
+    })
+
+    // ---- 5. decontamination (optional): drop train docs sharing ≥
     // minCommon word n-grams with any benchmark document
-    val m4 = test match {
+    val m5 = test match {
       case Some(t) =>
-        val h4 = md5(s"${cfg.version}|decontam|${cfg.contamN}|" +
+        val h5 = md5(s"${cfg.version}|decontam|${cfg.contamN}|" +
           s"${cfg.contamMinCommon}|${md5(testId)}")
-        record("decontam", runStage(outDir, "decontam", runId, h4,
-          upstreamId = stageIdentity(m3), lineage = s"test=$testId") {
-          val src = data("dedup")
+        record("decontam", runStage(outDir, "decontam", runId, h5,
+          upstreamId = stageIdentity(m4), lineage = s"test=$testId") {
+          val src = data("neardup")
           val hits = Curation.contamination(
             src, "doc_id", "text", t, idCol, textCol,
             n = cfg.contamN, minCommon = cfg.contamMinCommon)
             .select(col("train_id").as("doc_id")).distinct()
           src.join(hits, Seq("doc_id"), "left_anti")
         })
-      case None => m3
+      case None => m4
     }
 
-    // ---- 5. deterministic split, partitioned by split name
-    val h5 = md5(s"${cfg.version}|split|" +
+    // ---- 6. deterministic split, partitioned by split name
+    val h6 = md5(s"${cfg.version}|split|" +
       cfg.splits.map { case (n, w) => s"$n=$w" }.mkString(","))
-    record("split", runStage(outDir, "split", runId, h5,
-      upstreamId = stageIdentity(m4), lineage = "hash split",
+    record("split", runStage(outDir, "split", runId, h6,
+      upstreamId = stageIdentity(m5), lineage = "hash split",
       partitionCols = Seq("split")) {
-      data(m4.stage)
+      data(m5.stage)
         .withColumn("split", Curation.splitAssign(col("doc_id"), cfg.splits))
     })
 

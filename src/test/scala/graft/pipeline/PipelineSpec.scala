@@ -359,14 +359,15 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // ---- cold run: every stage computes, counts chain monotonically
     val r1 = CurationJob.run(spark, docs, outDir, "c1", inputId = "synth:800")
-    assert(r1.map(_.stage) == Seq("clean", "gates", "dedup", "split"))
+    assert(r1.map(_.stage) == Seq("clean", "gates", "exact", "neardup", "split"))
     assert(r1.forall(!_.resumed))
     val rows = r1.map(s => s.stage -> s.rows).toMap
     assert(rows("clean") > 0 && rows("clean") < 800,
       s"C4 must drop some adversarial docs: ${rows("clean")}")
     assert(rows("gates") < rows("clean"), "repetition gates must drop documents")
-    assert(rows("dedup") < rows("gates"), "planted duplicates must be removed")
-    assert(rows("split") == rows("dedup"))
+    assert(rows("exact") < rows("gates"), "planted exact duplicates must be removed")
+    assert(rows("neardup") < rows("exact"), "planted near duplicates must be removed")
+    assert(rows("split") == rows("neardup"))
     // manifest rows == actual parquet rows for every stage (the lineage a
     // downstream consumer trusts)
     r1.foreach { s =>
@@ -374,10 +375,10 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"manifest/parquet row mismatch at ${s.stage}")
     }
     // dedup output has no two docs with equal fingerprint
-    val dd = spark.read.parquet(CurationJob.stageDataDir(outDir, "dedup"))
+    val dd = spark.read.parquet(CurationJob.stageDataDir(outDir, "exact"))
     assert(dd.groupBy(graft.operators.TextAnalysis.fingerprint(functions.col("text")))
       .count().where(functions.col("count") > 1).count() == 0,
-      "exact duplicates must be gone after the dedup stage")
+      "exact duplicates must be gone after the exact stage")
     // split partitions cover the output exactly
     val split = spark.read.parquet(CurationJob.stageDataDir(outDir, "split"))
     assert(split.select("split").distinct().collect().map(_.getString(0)).toSet
@@ -393,8 +394,8 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cfg3 = CurationJob.Config(maxDupLineFrac = 0.25)
     val r3 = CurationJob.run(spark, docs, outDir, "c3", cfg3, inputId = "synth:800")
     val resumed3 = r3.map(s => s.stage -> s.resumed).toMap
-    assert(resumed3("clean") && !resumed3("gates") &&
-      !resumed3("dedup") && !resumed3("split"), s"got $r3")
+    assert(resumed3("clean") && !resumed3("gates") && !resumed3("exact") &&
+      !resumed3("neardup") && !resumed3("split"), s"got $r3")
     val rows3 = r3.map(s => s.stage -> s.rows).toMap
 
     // ---- decontamination: plant a benchmark of 3 curated docs — each
@@ -402,18 +403,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (plus any other train doc sharing >= 2 such 8-grams) are removed;
     // split recomputes on the new upstream (same cfg3 so clean..dedup
     // resume; the dedup parquet is RE-read because r3 overwrote it)
-    val bench = spark.read.parquet(CurationJob.stageDataDir(outDir, "dedup"))
+    val bench = spark.read.parquet(CurationJob.stageDataDir(outDir, "neardup"))
       .orderBy(functions.col("doc_id")).limit(3)
     val r4 = CurationJob.run(spark, docs, outDir, "c4", cfg3,
       inputId = "synth:800", test = Some(bench), testId = "bench-3")
-    assert(r4.map(_.stage) == Seq("clean", "gates", "dedup", "decontam", "split"))
+    assert(r4.map(_.stage) == Seq("clean", "gates", "exact", "neardup", "decontam", "split"))
     val resumed4 = r4.map(s => s.stage -> s.resumed).toMap
-    assert(resumed4("clean") && resumed4("gates") && resumed4("dedup") &&
-      !resumed4("decontam") && !resumed4("split"), s"got $r4")
+    assert(resumed4("clean") && resumed4("gates") && resumed4("exact") &&
+      resumed4("neardup") && !resumed4("decontam") && !resumed4("split"), s"got $r4")
     val decontamRows = r4.find(_.stage == "decontam").get.rows
-    assert(decontamRows <= rows3("dedup") - 3 && decontamRows > 0,
+    assert(decontamRows <= rows3("neardup") - 3 && decontamRows > 0,
       s"decontam must remove at least the 3 planted benchmark docs: " +
-        s"$decontamRows of ${rows3("dedup")}")
+        s"$decontamRows of ${rows3("neardup")}")
 
     // the whole chain obeys the cache-lifecycle invariant: four full runs
     // (incl. minhash dedup and decontamination) left nothing persisted

@@ -22,11 +22,11 @@ def stages(json: String): Seq[(String, Long, Boolean)] =
 
 // 1) cold run: all four stages compute, counts decrease monotonically
 val s1 = stages(run("--run-id", "a"))
-assert(s1.map(_._1) == Seq("clean", "gates", "dedup", "split"), s1)
+assert(s1.map(_._1) == Seq("clean", "gates", "exact", "neardup", "split"), s1)
 assert(s1.forall(!_._3), s"cold run must compute every stage: $s1")
-val Seq(clean1, gates1, dedup1, split1) = s1.map(_._2)
-assert(clean1 > 0 && clean1 < 3000 && gates1 < clean1 && dedup1 < gates1
-  && split1 == dedup1, s1)
+val Seq(clean1, gates1, exact1, near1, split1) = s1.map(_._2)
+assert(clean1 > 0 && clean1 < 3000 && gates1 < clean1 && exact1 < gates1
+  && near1 < exact1 && split1 == near1, s1)
 
 // 2) resume: every stage skipped, identical rows
 val s2 = stages(run("--run-id", "b"))
