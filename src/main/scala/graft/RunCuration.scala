@@ -47,6 +47,13 @@ object RunCuration {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "100000")
+      // stage handoffs are compact snappy text parquet with HEAVY per-row
+      // CPU downstream (shingling, n-gram counting): the 128 MB default
+      // split would hand a 2M-doc corpus to ~a dozen tasks and starve the
+      // session (measured: 26 of 32 cores parked in the neardup stage).
+      // Small splits keep every core fed; the scheduler amortizes the
+      // extra task overhead
+      .config("spark.sql.files.maxPartitionBytes", "16m")
     if (!sys.props.contains("spark.master") && !sys.env.contains("MASTER"))
       builder.master("local[*]")
     val spark = builder.getOrCreate()
