@@ -11,7 +11,8 @@ import graft.pipeline.{CurationJob, DocGen}
   *   spark-submit --class graft.RunCuration <jar> \
   *     --input <parquet dir | synth:NDOCS> --output <dir> \
   *     [--test <benchmark parquet>] [--run-id rc1] \
-  *     [--id-col doc_id] [--text-col text] [--version-tag <tag>]
+  *     [--id-col doc_id] [--text-col text] [--version-tag <tag>] \
+  *     [--max-partition-bytes 16m]
   *
   * Re-running with the same --output RESUMES: stages whose config hash
   * and upstream identity match their committed manifest are skipped;
@@ -52,8 +53,11 @@ object RunCuration {
       // split would hand a 2M-doc corpus to ~a dozen tasks and starve the
       // session (measured: 26 of 32 cores parked in the neardup stage).
       // Small splits keep every core fed; the scheduler amortizes the
-      // extra task overhead
-      .config("spark.sql.files.maxPartitionBytes", "16m")
+      // extra task overhead. Tunable at the CLI: a corpus with a
+      // different bytes-per-row/CPU shape can need a larger split
+      // without an 8x task-count tax
+      .config("spark.sql.files.maxPartitionBytes",
+        opts.getOrElse("max-partition-bytes", "16m"))
     if (!sys.props.contains("spark.master") && !sys.env.contains("MASTER"))
       builder.master("local[*]")
     val spark = builder.getOrCreate()

@@ -1,11 +1,5 @@
 package graft.pipeline
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.security.MessageDigest
-
-import scala.jdk.CollectionConverters._
-
 /** Backup/restore of a [[Checkpoint]] output store — the engine-shaped
   * analog of the reference's backup manager
   * (/root/reference/src/mcp/backup_manager.py): full backups archive the
@@ -20,8 +14,11 @@ import scala.jdk.CollectionConverters._
   * manifests; file bytes are streamed copy+hash. The store layout
   * (bucket-granular manifests committed atomically) means an incremental
   * backup is "buckets committed after the last backup's watermark" — no
-  * file-tree diffing. On a real deployment the copy target would be an
-  * object store; the NIO seam matches the rest of the Checkpoint tier.
+  * file-tree diffing. All I/O rides the Hadoop FileSystem seam ([[Fs]]),
+  * so source and target can be local disk, HDFS, or a configured object
+  * store; the backup manifest's commit-by-rename is atomic where the FS
+  * provides it (see [[Fs]] for the object-store degradation, which only
+  * ever exposes "backup absent" — invisible to listBackups/restore).
   */
 object Backup {
 
@@ -52,17 +49,6 @@ object Backup {
       corruptFiles: Seq[String], // md5 mismatches (restore is aborted)
       ok: Boolean)
 
-  private def md5Of(p: Path): String = {
-    val md = MessageDigest.getInstance("MD5")
-    val in = Files.newInputStream(p)
-    try {
-      val buf = new Array[Byte](65536)
-      var n = in.read(buf)
-      while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
-    } finally in.close()
-    md.digest().map("%02x".format(_)).mkString
-  }
-
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
 
@@ -81,9 +67,7 @@ object Backup {
   }
 
   def readBackupManifest(backupDir: String, backupId: String): Option[BackupManifest] = {
-    val p = Paths.get(backupDir, backupId, "backup.json")
-    if (!Files.exists(p)) return None
-    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val s = Fs.readString(s"$backupDir/$backupId/backup.json").getOrElse(return None)
     import org.json4s._
     val j = org.json4s.jackson.JsonMethods.parse(s)
     def str(v: JValue): String = v match { case JString(x) => x; case _ => "" }
@@ -108,17 +92,11 @@ object Backup {
       buckets, files, ids))
   }
 
-  def listBackups(backupDir: String): Seq[BackupManifest] = {
-    val root = Paths.get(backupDir)
-    if (!Files.exists(root)) return Seq.empty
-    val stream = Files.list(root)
-    try {
-      stream.iterator().asScala
-        .filter(Files.isDirectory(_))
-        .flatMap(d => readBackupManifest(backupDir, d.getFileName.toString))
-        .toSeq.sortBy(_.createdAtEpochMs)
-    } finally stream.close()
-  }
+  def listBackups(backupDir: String): Seq[BackupManifest] =
+    Fs.listDirNames(backupDir)
+      .filterNot(_.startsWith(".")) // in-flight ".id.tmp" staging dirs
+      .flatMap(d => readBackupManifest(backupDir, d))
+      .sortBy(_.createdAtEpochMs)
 
   /** The chain's view of what is already backed up for `sourceDir`:
     * per-bucket identities accumulated over all backups in commit order
@@ -154,7 +132,7 @@ object Backup {
     // overwritten backup was a link in an incremental chain, later
     // incrementals would restore over DIFFERENT bucket contents with no
     // warning — require explicit overwrite
-    if (!overwrite && Files.exists(Paths.get(backupDir, backupId)))
+    if (!overwrite && Fs.exists(s"$backupDir/$backupId"))
       throw new IllegalStateException(
         s"backup id '$backupId' already exists in $backupDir; " +
           "pass overwrite=true to replace it")
@@ -168,28 +146,21 @@ object Backup {
     }
     val newWm = (selected.map(_._2.committedAtEpochMs) :+ 0L).max
 
-    val stage = Paths.get(backupDir, s".$backupId.tmp")
-    if (Files.exists(stage)) deleteTree(stage)
-    Files.createDirectories(stage.resolve("files"))
-    val src = Paths.get(outDir)
+    val stage = s"$backupDir/.$backupId.tmp"
+    Fs.deleteTree(stage)
+    Fs.mkdirs(s"$stage/files")
     val files = scala.collection.mutable.ListBuffer.empty[BackupFile]
     selected.foreach { case (k, _) =>
       // each bucket = its manifest file + its data directory
       val parts = Seq(
-        Paths.get(outDir, "manifests", s"part-$k.json"),
-        Paths.get(outDir, "data", s"part_id=$k"))
-      parts.filter(Files.exists(_)).foreach { p =>
-        val walk = if (Files.isDirectory(p)) {
-          val stream = Files.walk(p)
-          try stream.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
-          finally stream.close()
-        } else Seq(p)
-        walk.foreach { f =>
-          val rel = src.relativize(f).toString
-          val dst = stage.resolve("files").resolve(rel)
-          Files.createDirectories(dst.getParent)
-          Files.copy(f, dst, StandardCopyOption.REPLACE_EXISTING)
-          files += BackupFile(rel, md5Of(dst), Files.size(dst))
+        s"$outDir/manifests/part-$k.json",
+        s"$outDir/data/part_id=$k")
+      parts.filter(Fs.exists).foreach { p =>
+        Fs.listFilesRecursive(p).foreach { f =>
+          val rel = Fs.relativize(outDir, f)
+          val dst = s"$stage/files/$rel"
+          Fs.copyFile(f, dst)
+          files += BackupFile(rel, Fs.md5(dst), Fs.fileSize(dst))
         }
       }
     }
@@ -197,12 +168,11 @@ object Backup {
       if (incremental) "incremental" else "full",
       nowMs, newWm, selected.map(_._1), files.toSeq,
       selected.map { case (k, m) => (k, bucketIdentity(m)) })
-    if (selected.isEmpty) { deleteTree(stage); return manifest }
-    Files.write(stage.resolve("backup.json"),
-      manifestJson(manifest).getBytes(StandardCharsets.UTF_8))
-    val finalDir = Paths.get(backupDir, backupId)
-    if (Files.exists(finalDir)) deleteTree(finalDir)
-    Files.move(stage, finalDir, StandardCopyOption.ATOMIC_MOVE)
+    if (selected.isEmpty) { Fs.deleteTree(stage); return manifest }
+    Fs.writeAtomic(s"$stage/backup.json", manifestJson(manifest))
+    val finalDir = s"$backupDir/$backupId"
+    Fs.deleteTree(finalDir)
+    Fs.renameOverwrite(stage, finalDir)
     manifest
   }
 
@@ -215,24 +185,25 @@ object Backup {
   def restore(backupDir: String, backupId: String, targetDir: String): RestoreReport = {
     val m = readBackupManifest(backupDir, backupId).getOrElse(
       return RestoreReport(backupId, 0, 0L, Seq("backup.json missing"), ok = false))
-    val filesRoot = Paths.get(backupDir, backupId, "files")
+    val filesRoot = s"$backupDir/$backupId/files"
     val corrupt = m.files.filter { f =>
-      val p = filesRoot.resolve(f.relPath)
-      !Files.exists(p) || Files.size(p) != f.bytes || md5Of(p) != f.md5
+      val p = s"$filesRoot/${f.relPath}"
+      // Fs.md5 reports unreadable/FS-checksum-failing files as a
+      // non-digest sentinel, so bit rot below the filesystem also lands
+      // here as a mismatch instead of aborting the scan
+      !Fs.exists(p) || Fs.fileSize(p) != f.bytes || Fs.md5(p) != f.md5
     }.map(_.relPath)
     if (corrupt.nonEmpty) return RestoreReport(backupId, 0, 0L, corrupt, ok = false)
     // a bucket is the atomic unit: restoring it REPLACES its data dir and
     // manifest (layering an incremental over a full must not merge two
     // generations' part files into one directory)
     m.buckets.foreach { k =>
-      deleteTree(Paths.get(targetDir, "data", s"part_id=$k"))
-      Files.deleteIfExists(Paths.get(targetDir, "manifests", s"part-$k.json"))
+      Fs.deleteTree(s"$targetDir/data/part_id=$k")
+      Fs.deleteIfExists(s"$targetDir/manifests/part-$k.json")
     }
     var bytes = 0L
     m.files.foreach { f =>
-      val dst = Paths.get(targetDir, f.relPath)
-      Files.createDirectories(dst.getParent)
-      Files.copy(filesRoot.resolve(f.relPath), dst, StandardCopyOption.REPLACE_EXISTING)
+      Fs.copyFile(s"$filesRoot/${f.relPath}", s"$targetDir/${f.relPath}")
       bytes += f.bytes
     }
     RestoreReport(backupId, m.files.size, bytes, Seq.empty, ok = true)
@@ -277,15 +248,7 @@ object Backup {
       }
     }
     val doomed = all.filterNot(m => keep.contains(m.backupId))
-    doomed.foreach(m => deleteTree(Paths.get(backupDir, m.backupId)))
+    doomed.foreach(m => Fs.deleteTree(s"$backupDir/${m.backupId}"))
     doomed.map(_.backupId)
   }
-
-  private def deleteTree(p: Path): Unit =
-    if (Files.exists(p)) {
-      val stream = Files.walk(p)
-      try stream.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
-      finally stream.close()
-    }
 }

@@ -1,10 +1,5 @@
 package graft.pipeline
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -49,30 +44,24 @@ object Checkpoint {
       lineage: String,
       configHash: String = "")
 
-  private def manifestPath(outDir: String, partId: Int): Path =
-    Paths.get(outDir, "manifests", s"part-$partId.json")
+  // manifest I/O rides the Hadoop FileSystem seam ([[Fs]]) so the store
+  // works on HDFS/object storage, not just a local disk
+  private def manifestPath(outDir: String, partId: Int): String =
+    s"$outDir/manifests/part-$partId.json"
 
   private def dataDir(outDir: String): String = s"$outDir/data"
 
   def writeManifest(outDir: String, m: Manifest): Unit = {
-    val dir = Paths.get(outDir, "manifests")
-    Files.createDirectories(dir)
     def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val json =
       s"""{"partId":${m.partId},"rows":${m.rows},"bytes":${m.bytes},""" +
         s""""runId":"${m.runId}","committedAtEpochMs":${m.committedAtEpochMs},""" +
         s""""lineage":"${esc(m.lineage)}","configHash":"${esc(m.configHash)}"}"""
-    val tmp = dir.resolve(s".part-${m.partId}.json.tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath(outDir, m.partId),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    Fs.writeAtomic(manifestPath(outDir, m.partId), json)
   }
 
   def readManifest(outDir: String, partId: Int): Option[Manifest] = {
-    val p = manifestPath(outDir, partId)
-    if (!Files.exists(p)) None
-    else {
-      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    Fs.readString(manifestPath(outDir, partId)).map { s =>
       import org.json4s._
       val j = org.json4s.jackson.JsonMethods.parse(s)
       def l(f: String): Long = (j \ f) match {
@@ -81,13 +70,13 @@ object Checkpoint {
       def str(f: String): String = (j \ f) match {
         case JString(v) => v; case _ => ""
       }
-      Some(Manifest(l("partId").toInt, l("rows"), l("bytes"), str("runId"),
-        l("committedAtEpochMs"), str("lineage"), str("configHash")))
+      Manifest(l("partId").toInt, l("rows"), l("bytes"), str("runId"),
+        l("committedAtEpochMs"), str("lineage"), str("configHash"))
     }
   }
 
   def completedBuckets(outDir: String, numBuckets: Int): Seq[Int] =
-    (0 until numBuckets).filter(k => Files.exists(manifestPath(outDir, k)))
+    (0 until numBuckets).filter(k => Fs.exists(manifestPath(outDir, k)))
 
   /** Buckets whose manifest is VALID for this run: committed, config hash
     * matches, and (if a TTL is set) not expired — the reference cache's
@@ -102,15 +91,6 @@ object Checkpoint {
     (0 until numBuckets).filter { k =>
       readManifest(outDir, k).exists(m =>
         m.configHash == configHash && (nowMs - m.committedAtEpochMs) <= ttlMs)
-    }
-
-  private def dirBytes(dir: Path): Long =
-    if (!Files.exists(dir)) 0L
-    else {
-      val stream = Files.walk(dir)
-      try stream.iterator().asScala
-        .filter(Files.isRegularFile(_)).map(Files.size).sum
-      finally stream.close()
     }
 
   /** Run the extraction resumably. Returns the manifests committed in THIS
@@ -181,7 +161,7 @@ object Checkpoint {
       val rowCounts = obs.get // blocks until the write (the action) finishes
       // data for the whole group is durable; now commit each bucket
       group.foreach { k =>
-        val dir = Paths.get(dataDir(outDir), s"part_id=$k")
+        val dir = s"${dataDir(outDir)}/part_id=$k"
         val rows = rowCounts.get(s"rows_$k") match {
           case Some(n: Long) => n
           case Some(n: Number) => n.longValue()
@@ -196,14 +176,11 @@ object Checkpoint {
         // and the new manifest write must never leave a manifest (rows>0,
         // old configHash) pointing at a deleted directory, which readResult
         // would treat as committed-but-empty.
-        if (rows == 0L && Files.exists(dir)) {
-          Files.deleteIfExists(manifestPath(outDir, k))
-          val stream = Files.walk(dir)
-          try stream.sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => Files.deleteIfExists(p))
-          finally stream.close()
+        if (rows == 0L && Fs.exists(dir)) {
+          Fs.deleteIfExists(manifestPath(outDir, k))
+          Fs.deleteTree(dir)
         }
-        val m = Manifest(k, rows, dirBytes(dir), runId,
+        val m = Manifest(k, rows, Fs.dirBytes(dir), runId,
           System.currentTimeMillis(), lineage, configHash)
         writeManifest(outDir, m)
         committed += m
@@ -216,7 +193,7 @@ object Checkpoint {
   def readResult(spark: SparkSession, outDir: String, numBuckets: Int): DataFrame = {
     val done = completedBuckets(outDir, numBuckets)
     val dirs = done.map(k => s"${dataDir(outDir)}/part_id=$k")
-      .filter(d => Files.exists(Paths.get(d)))
+      .filter(Fs.exists)
     if (dirs.isEmpty) spark.emptyDataFrame
     else spark.read.option("basePath", dataDir(outDir)).parquet(dirs: _*)
   }

@@ -1,9 +1,6 @@
 package graft.pipeline
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-
-import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -76,8 +73,11 @@ object CurationJob {
   def stageDataDir(outDir: String, stage: String): String =
     s"$outDir/stages/$stage/data"
 
-  private def manifestPath(outDir: String, stage: String): Path =
-    Paths.get(outDir, "stages", stage, "manifest.json")
+  // manifest I/O rides the Hadoop FileSystem seam ([[Fs]]): the resume
+  // story must work where the stage parquet lives (HDFS/object storage),
+  // not only on a driver-local disk
+  private def manifestPath(outDir: String, stage: String): String =
+    s"$outDir/stages/$stage/manifest.json"
 
   private def md5(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -94,6 +94,12 @@ object CurationJob {
     * resume never silently serves a curation of yesterday's listing.
     * Non-path inputs (synth:N) are identified by their descriptor, which
     * fully determines their content.
+    *
+    * A path that cannot be LISTED fails loudly instead of degrading to a
+    * path-keyed identity: two runs that both failed to list would share
+    * an identity even if the files changed between them — exactly the
+    * stale resume the fingerprint exists to prevent (and a job that
+    * cannot list its input cannot read it either).
     */
   def inputIdentity(spark: SparkSession, input: String): String = {
     if (input.isEmpty || !input.contains("/")) return input
@@ -111,47 +117,36 @@ object CurationJob {
       }
       s"$input@n=$n,h=${java.lang.Long.toHexString(acc)}"
     } catch {
-      case scala.util.control.NonFatal(_) => input // unlistable: path-keyed
+      case scala.util.control.NonFatal(e) =>
+        throw new java.io.IOException(
+          s"cannot list input '$input' to fingerprint it for resume " +
+            s"keying (${e.getMessage}); refusing to fall back to a " +
+            "path-only identity, which could resume over stale data", e)
     }
   }
 
   def writeStageManifest(outDir: String, m: StageManifest): Unit = {
-    val dir = manifestPath(outDir, m.stage).getParent
-    Files.createDirectories(dir)
     val json =
       s"""{"stage":"${esc(m.stage)}","rows":${m.rows},"bytes":${m.bytes},""" +
         s""""runId":"${esc(m.runId)}","committedAtEpochMs":${m.committedAtEpochMs},""" +
         s""""configHash":"${esc(m.configHash)}","upstreamId":"${esc(m.upstreamId)}",""" +
         s""""lineage":"${esc(m.lineage)}"}"""
-    val tmp = dir.resolve(".manifest.json.tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath(outDir, m.stage),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    Fs.writeAtomic(manifestPath(outDir, m.stage), json)
   }
 
   def readStageManifest(outDir: String, stage: String): Option[StageManifest] = {
-    val p = manifestPath(outDir, stage)
-    if (!Files.exists(p)) return None
-    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-    import org.json4s._
-    val j = org.json4s.jackson.JsonMethods.parse(s)
-    def str(f: String): String = (j \ f) match { case JString(v) => v; case _ => "" }
-    def lng(f: String): Long = (j \ f) match {
-      case JInt(i) => i.toLong; case JLong(i) => i; case _ => 0L
+    Fs.readString(manifestPath(outDir, stage)).map { s =>
+      import org.json4s._
+      val j = org.json4s.jackson.JsonMethods.parse(s)
+      def str(f: String): String = (j \ f) match { case JString(v) => v; case _ => "" }
+      def lng(f: String): Long = (j \ f) match {
+        case JInt(i) => i.toLong; case JLong(i) => i; case _ => 0L
+      }
+      StageManifest(str("stage"), lng("rows"), lng("bytes"), str("runId"),
+        lng("committedAtEpochMs"), str("configHash"), str("upstreamId"),
+        str("lineage"))
     }
-    Some(StageManifest(str("stage"), lng("rows"), lng("bytes"), str("runId"),
-      lng("committedAtEpochMs"), str("configHash"), str("upstreamId"),
-      str("lineage")))
   }
-
-  private def dirBytes(dir: Path): Long =
-    if (!Files.exists(dir)) 0L
-    else {
-      val stream = Files.walk(dir)
-      try stream.iterator().asScala
-        .filter(Files.isRegularFile(_)).map(Files.size).sum
-      finally stream.close()
-    }
 
   /** Run (or resume) one stage. `compute` is only evaluated on a miss. */
   private def runStage(
@@ -166,7 +161,7 @@ object CurationJob {
         // retract the stale manifest BEFORE the data is touched: a crash
         // mid-write must leave "no manifest" (recompute on resume), never
         // a manifest pointing at replaced/partial data
-        stale.foreach(_ => Files.deleteIfExists(manifestPath(outDir, stage)))
+        stale.foreach(_ => Fs.deleteIfExists(manifestPath(outDir, stage)))
         val df = compute
         val obs = org.apache.spark.sql.Observation(s"curation-$stage-$runId")
         val observed = df.observe(obs, coalesce(count(lit(1)), lit(0L)).as("rows"))
@@ -177,7 +172,7 @@ object CurationJob {
           case n: Long => n; case n: Number => n.longValue(); case _ => 0L
         }
         val m = StageManifest(stage, rows,
-          dirBytes(Paths.get(stageDataDir(outDir, stage))), runId,
+          Fs.dirBytes(stageDataDir(outDir, stage)), runId,
           System.currentTimeMillis(), configHash, upstreamId, lineage)
         writeStageManifest(outDir, m)
         (m, false)
@@ -186,8 +181,11 @@ object CurationJob {
 
   /** Run the full chain. `inputId` identifies the INPUT corpus for resume
     * purposes (e.g. the input path or "synth:N"); `test` enables the
-    * decontamination stage, identified by `testId`. Returns per-stage
-    * (rows, resumed) lineage in chain order.
+    * decontamination stage, identified by `testId` — REQUIRED when `test`
+    * is set (e.g. [[inputIdentity]] of the benchmark's path): the testId
+    * keys the decontam stage's resume, so an empty default would let two
+    * runs with DIFFERENT benchmarks silently resume each other's output.
+    * Returns per-stage (rows, resumed) lineage in chain order.
     */
   def run(
       spark: SparkSession, docs: DataFrame, outDir: String, runId: String,
@@ -195,6 +193,10 @@ object CurationJob {
       idCol: String = "doc_id", textCol: String = "text",
       inputId: String = "",
       test: Option[DataFrame] = None, testId: String = ""): Seq[StageResult] = {
+    require(test.isEmpty || testId.nonEmpty,
+      "testId is required when test is set: it keys the decontamination " +
+        "stage's resume identity — an empty id would let a run with a " +
+        "DIFFERENT benchmark resume this one's decontam output as its own")
     import spark.implicits._
     def data(stage: String): DataFrame =
       spark.read.parquet(stageDataDir(outDir, stage))

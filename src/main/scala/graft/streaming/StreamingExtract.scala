@@ -134,9 +134,23 @@ object StreamingExtract {
     * is the standard LSH S-curve 1-(1-s^r)^b. Streaming has no second
     * verify pass, so suppression is candidate-level (documented trade:
     * bucket-collision false positives suppress; astronomically rare for
-    * 64-bit band keys on non-near documents). Two near-dups inside ONE
-    * micro-batch can split their fresh buckets and both be suppressed —
-    * at-most-once emission per near-dup cluster still holds.
+    * 64-bit band keys on non-near documents).
+    *
+    * KNOWN LIMIT of the strict default (`minFreshBands = p.bands`): when a
+    * near-dup cluster's members ALL first arrive within one micro-batch,
+    * the cluster's fresh band buckets can split across members so that no
+    * single member keeps all of its bands — the whole cluster then emits
+    * ZERO documents, original included. Emission is at-MOST-once per
+    * cluster, not at-least-once. A consumer that needs representation for
+    * same-batch cluster arrivals can lower `minFreshBands` (e.g. to
+    * `p.bands / 2`): a member that grabbed the majority of a 2-way split
+    * still emits. The trade is false novelty — a genuine near-dup of
+    * week-old content whose buckets were watermark-evicted, or a partial
+    * overlap, can clear a low threshold. There is no threshold that
+    * guarantees exactly-one per cluster without a second (stateful join)
+    * pass; for exact-once cluster representatives run the batch
+    * [[graft.operators.Dedup.minHashNearDups]] + cluster resolution over
+    * the drained output instead.
     *
     * Output (append mode, emitted when the watermark passes the window):
     * (id, window_start, n_fresh_bands) for novel documents only.
@@ -145,8 +159,12 @@ object StreamingExtract {
       docs: DataFrame, idCol: String, textCol: String, tsCol: String,
       watermark: String = "1 hour", windowLength: String = "10 minutes",
       p: graft.operators.Dedup.MinHashParams =
-        graft.operators.Dedup.MinHashParams()): DataFrame = {
+        graft.operators.Dedup.MinHashParams(),
+      minFreshBands: Int = -1): DataFrame = {
     require(p.numHashes % p.bands == 0, "bands must divide numHashes")
+    val freshGate = if (minFreshBands < 0) p.bands else minFreshBands
+    require(freshGate >= 1 && freshGate <= p.bands,
+      s"minFreshBands must be in [1, ${p.bands}]")
     val spark = docs.sparkSession
     import spark.implicits._
     import graft.operators.Dedup
@@ -166,7 +184,7 @@ object StreamingExtract {
       .dropDuplicatesWithinWatermark("band", "key")
       .groupBy(window(col("ts"), windowLength), col("id"))
       .agg(count(lit(1)).as("n_fresh_bands"))
-      .where(col("n_fresh_bands") === p.bands)
+      .where(col("n_fresh_bands") >= freshGate)
       .select(col("id"), col("window.start").as("window_start"),
         col("n_fresh_bands"))
   }

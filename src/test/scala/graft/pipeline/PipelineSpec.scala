@@ -26,6 +26,14 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  /** A scheme-qualified (`file://`) Hadoop path for a fresh temp dir: the
+    * checkpoint/curation/backup suites drive the pipeline through the
+    * Hadoop FileSystem surface (the one HDFS/object-store deployments
+    * use), not through `java.nio`-only local paths.
+    */
+  private def fsTmp(prefix: String): String =
+    "file://" + Files.createTempDirectory(prefix)
+
   private lazy val goldenTexts: Set[String] = {
     val in = getClass.getResourceAsStream("/graft/golden_kernel.json")
     val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -144,7 +152,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("checkpoint: resume skips completed buckets, final result identical") {
     val sp = spark; import sp.implicits._
-    val outDir = Files.createTempDirectory("graft-ckpt").toString
+    val outDir = fsTmp("graft-ckpt")
     val ds = TranscriptGen.dataset(spark, 40)
     val numBuckets = 8
 
@@ -157,7 +165,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // simulate crash: delete 2 manifests (data may or may not survive)
     Seq(2, 5).foreach { k =>
-      Files.delete(Paths.get(outDir, "manifests", s"part-$k.json"))
+      Fs.deleteIfExists(s"$outDir/manifests/part-$k.json")
     }
     assert(Checkpoint.completedBuckets(outDir, numBuckets).size == numBuckets - 2)
 
@@ -186,7 +194,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("checkpoint invalidation: changed config hash recomputes, unchanged skips, TTL expires") {
-    val outDir = Files.createTempDirectory("graft-ckpt-inv").toString
+    val outDir = fsTmp("graft-ckpt-inv")
     val ds = TranscriptGen.dataset(spark, 20)
     val numBuckets = 4
 
@@ -233,7 +241,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("checkpoint: stale bucket recomputed to ZERO rows deletes its old data dir") {
     import org.apache.spark.sql.functions.{col, hash, pmod, lit}
-    val outDir = Files.createTempDirectory("graft-ckpt-zero").toString
+    val outDir = fsTmp("graft-ckpt-zero")
     val ds = TranscriptGen.dataset(spark, 20)
     val numBuckets = 4
 
@@ -256,7 +264,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.rows == 0L && m.runId == "r2")
     // the stale parquet from r1 must be GONE — dynamic partition overwrite
     // never touches a partition the new job wrote no rows for
-    assert(!Files.exists(Paths.get(outDir, "data", s"part_id=$victim")),
+    assert(!Fs.exists(s"$outDir/data/part_id=$victim"),
       "zero-row recomputed bucket must have its old data directory deleted")
     assert(m.bytes == 0L)
     // readResult serves exactly the filtered input, no stale rows
@@ -264,8 +272,8 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("backup/restore: full + incremental watermarks, hash validation, retention") {
-    val outDir = Files.createTempDirectory("graft-bk-src").toString
-    val backupDir = Files.createTempDirectory("graft-bk-dst").toString
+    val outDir = fsTmp("graft-bk-src")
+    val backupDir = fsTmp("graft-bk-dst")
     val ds = TranscriptGen.dataset(spark, 30)
     val numBuckets = 8
     Checkpoint.run(ds, outDir, numBuckets, runId = "r1", groupSize = 4)
@@ -283,14 +291,14 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // recommit two buckets, then incremental picks up exactly those — no
     // sleep: selection is per-bucket IDENTITY (runId@commit@rows@bytes),
     // so a recommit within the same millisecond is still detected
-    Seq(2, 5).foreach(k => Files.delete(Paths.get(outDir, "manifests", s"part-$k.json")))
+    Seq(2, 5).foreach(k => Fs.deleteIfExists(s"$outDir/manifests/part-$k.json"))
     Checkpoint.run(ds, outDir, numBuckets, runId = "r2", groupSize = 4)
     val b3 = Backup.backup(outDir, numBuckets, backupDir, "b3", incremental = true)
     assert(b3.mode == "incremental" && b3.buckets.sorted == Seq(2, 5))
 
     // restore full, then layer the incremental: bucket dirs are REPLACED,
     // and the restored store reads back complete and exact
-    val restoreDir = Files.createTempDirectory("graft-bk-restore").toString
+    val restoreDir = fsTmp("graft-bk-restore")
     val r1 = Backup.restore(backupDir, "b1", restoreDir)
     assert(r1.ok && r1.filesRestored == b1.files.size)
     val r3 = Backup.restore(backupDir, "b3", restoreDir)
@@ -301,15 +309,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // corruption: flip a byte in a backed-up data file -> restore refuses
     // to write ANYTHING
-    val victim = Paths.get(backupDir, "b1", "files",
+    // flip a byte UNDERNEATH the filesystem (raw java.nio on the local
+    // file) — simulates bit rot; Hadoop's local FS then fails its .crc
+    // check on read, which Fs.md5 reports as corruption, not a crash
+    val victim = Paths.get(backupDir.stripPrefix("file://"), "b1", "files",
       b1.files.find(_.relPath.contains("part_id=")).get.relPath)
     val bytes = Files.readAllBytes(victim)
     bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x7f).toByte
     Files.write(victim, bytes)
-    val badDir = Files.createTempDirectory("graft-bk-bad").toString
+    val badDir = fsTmp("graft-bk-bad")
     val rBad = Backup.restore(backupDir, "b1", badDir)
     assert(!rBad.ok && rBad.corruptFiles.nonEmpty && rBad.filesRestored == 0)
-    assert(!Files.exists(Paths.get(badDir, "data")), "corrupt restore must write nothing")
+    assert(!Fs.exists(s"$badDir/data"), "corrupt restore must write nothing")
 
     // retention with chain protection: while the newest backup is the
     // INCREMENTAL b3, its full base b1 must survive any window — deleting
@@ -340,7 +351,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // backupDir must keep its own most recent backup even when its only
     // backup is past retention and the other source has a newer one —
     // "keep the newest" is per sourceDir, not global
-    val outDir2 = Files.createTempDirectory("graft-bk-src2").toString
+    val outDir2 = fsTmp("graft-bk-src2")
     Checkpoint.run(TranscriptGen.dataset(spark, 10), outDir2, numBuckets,
       runId = "s1", groupSize = 4)
     val c1 = Backup.backup(outDir2, numBuckets, backupDir, "c1",
@@ -354,7 +365,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("curation chain: stage lineage counts, resume, downstream-only invalidation, decontam") {
-    val outDir = Files.createTempDirectory("graft-curation").toString
+    val outDir = fsTmp("graft-curation")
     val docs = DocGen.dataset(spark, 800, partitions = 8)
 
     // ---- cold run: every stage computes, counts chain monotonically
@@ -432,6 +443,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(id1 != id2, "appending files must change the identity (stage 1 invalidates)")
     // synthetic descriptors fully determine content — identity is the descriptor
     assert(CurationJob.inputIdentity(spark, "synth:800") == "synth:800")
+    // an unlistable path FAILS LOUDLY instead of degrading to a path-only
+    // identity (two failed listings would share an identity across file
+    // changes — the stale resume the fingerprint exists to prevent)
+    intercept[java.io.IOException] {
+      CurationJob.inputIdentity(spark, "/graft-definitely-missing/nope")
+    }
+  }
+
+  test("curation run refuses a test benchmark without a testId (resume-identity trap)") {
+    val outDir = fsTmp("graft-curation-tid")
+    val docs = DocGen.dataset(spark, 50, partitions = 2)
+    val ex = intercept[IllegalArgumentException] {
+      CurationJob.run(spark, docs, outDir, "t1", inputId = "synth:50",
+        test = Some(docs.limit(2)))
+    }
+    assert(ex.getMessage.contains("testId"))
   }
 
   test("partition-count invariance: same output at 2 and 16 input partitions") {
