@@ -421,6 +421,45 @@ object SparkEntry {
       lineage.map(r => (r.stage, r.rows)).toDF("stage", "rows")
     }),
 
+    // ---- oracle-checkable curation lineage (x22's three-check mirror):
+    // the REAL CurationJob with its two non-SQL-expressible knobs
+    // neutralized — the top-n-gram repetition gate (kernel tier; thresholds
+    // at 1.0 pass everything, fractions are ≤ 1 by construction) and the
+    // MinHash near-dup stage (threshold > 1 admits no candidate pair) —
+    // so every surviving stage (C4 clean → dup-line/para gates → exact
+    // fingerprint dedup → hash split) has an exact DuckDB mirror. x22
+    // keeps the full production config; this pins the chain's plumbing
+    // (stage composition, manifest lineage, split assignment) to an
+    // independent engine.
+    "q33_curation_lineage" -> ((s, dir) => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft-q33").toString
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"), "table", "table."), "\\. ", ".\n").as("text"))
+      // 80/10/10 split (vs the 98/1/1 production default) so all three
+      // split partitions are non-empty at oracle SF — a stronger check
+      val cfg = graft.pipeline.CurationJob.Config(
+        maxTop2 = 1.0, maxTop3 = 1.0, maxTop4 = 1.0,
+        minhash = Dedup.MinHashParams(threshold = 1.1),
+        splits = Seq(("train", 80), ("val", 10), ("test", 10)))
+      val lineage = graft.pipeline.CurationJob
+        .run(s, docs, out, "q33", cfg, inputId = s"q33:$dir")
+      val rows = lineage.map(r => r.stage -> r.rows).toMap
+      assert(rows("neardup") == rows("exact"),
+        "threshold > 1 must make the near-dup stage a no-op")
+      val splitCounts = s.read
+        .parquet(graft.pipeline.CurationJob.stageDataDir(out, "split"))
+        .groupBy(col("split")).agg(count(lit(1)).as("n"))
+        .collect().map(r => s"split_${r.getString(0)}" -> r.getLong(1))
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+      (Seq("clean", "gates", "exact").map(st => st -> rows(st)) ++ splitCounts)
+        .toDF("stage", "n_docs").orderBy(col("stage"))
+    }),
+
     // ---- composed multi-step workflow with conditional branching ----
     // process -> extract_fields -> validate_data -> conditional routing
     // (workflows.py:139-208 dispatch; nested conditional in the false arm)
@@ -1057,6 +1096,38 @@ object SparkEntry {
     // intersected across every (test, train) pair; pairs sharing >= 2
     // shingles are contaminated. Exact because the df cap (1024) exceeds
     // any possible document frequency at gate SF
+    "q33_curation_lineage" -> {
+      import graft.operators.{C4, Curation}
+      val st = "regexp_replace(regexp_replace(text, 'table', 'table.', 'g'), " +
+        "'\\. ', '.' || chr(10), 'g')"
+      val cleanT = s"array_to_string(${C4.cleanLinesSql("t0", 3)}, chr(10))"
+      s"""WITH structured AS (
+         |  SELECT doc_id, $st AS t0 FROM documents),
+         |cleaned AS (
+         |  SELECT doc_id, $cleanT AS t FROM structured),
+         |clean_kept AS (
+         |  SELECT doc_id, t FROM cleaned WHERE ${C4.keepDocumentSql("t", 5)}),
+         |gates AS (
+         |  SELECT doc_id, t FROM clean_kept
+         |  WHERE ${TextAnalysis.dupLineFractionSql("t")} <= 0.30
+         |    AND ${TextAnalysis.dupParagraphFractionSql("t")} <= 0.30),
+         |exact AS (
+         |  SELECT min(doc_id) AS doc_id FROM gates
+         |  GROUP BY ${TextAnalysis.fingerprintSql("t")}),
+         |splits AS (
+         |  SELECT 'split_' || CASE WHEN b < 80 THEN 'train'
+         |                          WHEN b < 90 THEN 'val' ELSE 'test' END AS stage,
+         |         count(*) AS n_docs
+         |  FROM (SELECT ${Curation.hashBucketSql("doc_id", 100)} AS b FROM exact)
+         |  GROUP BY 1)
+         |SELECT stage, CAST(n_docs AS BIGINT) AS n_docs FROM (
+         |  SELECT 'clean' AS stage, count(*) AS n_docs FROM clean_kept
+         |  UNION ALL SELECT 'gates', count(*) FROM gates
+         |  UNION ALL SELECT 'exact', count(*) FROM exact
+         |  UNION ALL SELECT stage, n_docs FROM splits)
+         |ORDER BY stage""".stripMargin
+    },
+
     "x15_contamination" ->
       """WITH te0 AS (
         |  SELECT doc_id + 2000000 AS doc_id,
