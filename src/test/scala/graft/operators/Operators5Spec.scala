@@ -1,0 +1,171 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Fs
+
+/** Round-5 tests: small-file compaction for the incrementally-maintained
+  * ANN indexes — repeated appends accumulate files per partition; the
+  * maintenance pass rewrites only overgrown partitions, query results are
+  * unchanged, and a crash mid-swap (compacted file in, old files still
+  * present) never changes results thanks to the query paths' id dedup.
+  */
+class Operators5Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-operators5-spec")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft-warehouse5").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def vecs(from: Long, until: Long, dim: Int = 16): Seq[(Long, Seq[Float])] =
+    (from until until).map { i =>
+      i -> (0 until dim).map { d =>
+        val h = graft.pipeline.TranscriptGen.sm64(i * 7919L + d)
+        (h.toDouble / Long.MaxValue.toDouble).toFloat
+      }
+    }
+
+  private def isData(name: String): Boolean =
+    !name.startsWith(".") && !name.startsWith("_")
+
+  private def dataFiles(dir: String): Seq[String] =
+    Fs.listFilesRecursive(dir).filter(f => isData(f.split('/').last))
+
+  private def partitionFileCounts(path: String, depth: Int): Map[String, Int] = {
+    def leaves(dir: String, d: Int): Seq[String] =
+      if (d == 0) Seq(dir)
+      else Fs.listDirNames(dir).filter(_.contains("="))
+        .flatMap(x => leaves(s"$dir/$x", d - 1))
+    leaves(path, depth)
+      .map(d => Fs.relativize(path, d) -> dataFiles(d).size).toMap
+  }
+
+  test("compactLshIndex: overgrown partitions collapse to one file, queries unchanged, under-threshold untouched") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("graft-lsh-compact").toString + "/idx"
+    val base = vecs(0L, 120L)
+    val baseDf = base.toDF("vec_id", "embedding")
+    Similarity.writeLshIndex(
+      Similarity.buildLshIndex(baseDf, "vec_id", "embedding"), dir)
+
+    // 6 incremental appends: every touched partition gains a file per append
+    var all = base
+    (0 until 6).foreach { i =>
+      val batch = vecs(200L + i * 20L, 200L + (i + 1) * 20L)
+      all = all ++ batch
+      Similarity.appendToLshIndex(
+        batch.toDF("vec_id", "embedding"), "vec_id", "embedding", dir)
+    }
+    val counts0 = partitionFileCounts(dir, 2)
+    assert(counts0.values.max > 4,
+      s"appends must overgrow some partition: $counts0")
+
+    val query = all(37)._2.toArray
+    def topk(): Seq[(Long, Double)] =
+      Similarity.lshTopKIndexed(spark.read.parquet(dir), query, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val beforeResults = topk()
+
+    val report = Similarity.compactLshIndex(spark, dir, maxFilesPerPartition = 4)
+    assert(report.partitionsCompacted == counts0.values.count(_ > 4),
+      s"exactly the overgrown partitions rewrite: $report vs $counts0")
+    assert(report.filesAfter < report.filesBefore, report.toString)
+
+    val counts1 = partitionFileCounts(dir, 2)
+    // overgrown partitions → exactly 1 file (file-count plan guard);
+    // partitions at/under the threshold are byte-untouched
+    counts0.foreach { case (p, n) =>
+      if (n > 4) assert(counts1(p) == 1, s"$p: ${counts1(p)} files after compaction")
+      else assert(counts1(p) == n, s"$p was under threshold and must not be touched")
+    }
+
+    // query equality (same rows, same scores, same order) + scan parity
+    assert(topk() == beforeResults)
+    val viaScan = Similarity.lshTopK(
+      all.toDF("vec_id", "embedding"), "vec_id", "embedding", query, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(topk() == viaScan)
+
+    // idempotence: a second pass finds nothing overgrown
+    val again = Similarity.compactLshIndex(spark, dir, maxFilesPerPartition = 4)
+    assert(again.partitionsCompacted == 0 && again.filesBefore == report.filesAfter)
+  }
+
+  test("compactIvfIndex: compaction equality on the (ivf_list) layout") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("graft-ivf-compact").toString + "/idx"
+    val base = vecs(0L, 120L)
+    val baseDf = base.toDF("vec_id", "embedding")
+    val cents = Similarity.trainIvfCentroids(baseDf, "vec_id", "embedding", nList = 8)
+    Similarity.writeIvfIndex(
+      Similarity.ivfIndex(baseDf, "vec_id", "embedding", cents, nAssign = 4), dir)
+    var all = base
+    (0 until 6).foreach { i =>
+      val batch = vecs(300L + i * 15L, 300L + (i + 1) * 15L)
+      all = all ++ batch
+      Similarity.appendToIvfIndex(
+        batch.toDF("vec_id", "embedding"), "vec_id", "embedding", dir, cents, nAssign = 4)
+    }
+    val query = all(53)._2.toArray
+    def topk(): Seq[(Long, Double)] =
+      Similarity.ivfTopKIndexed(spark.read.parquet(dir), cents, query, 10, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = topk()
+
+    val counts0 = partitionFileCounts(dir, 1)
+    assert(counts0.values.max > 4, s"appends must overgrow some list: $counts0")
+    val report = Similarity.compactIvfIndex(spark, dir, maxFilesPerPartition = 4)
+    assert(report.partitionsCompacted > 0 && report.filesAfter < report.filesBefore)
+    partitionFileCounts(dir, 1).foreach { case (p, n) =>
+      if (counts0(p) > 4) assert(n == 1, s"$p: $n files after compaction")
+    }
+    assert(topk() == before)
+  }
+
+  test("crash mid-swap (compacted file in, old files not yet deleted) does not change query results") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("graft-lsh-crash").toString + "/idx"
+    val all = vecs(0L, 150L)
+    Similarity.writeLshIndex(
+      Similarity.buildLshIndex(all.toDF("vec_id", "embedding"), "vec_id", "embedding"), dir)
+    val query = all(11)._2.toArray
+    def topk(): Seq[(Long, Double)] =
+      Similarity.lshTopKIndexed(spark.read.parquet(dir), query, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = topk()
+
+    // simulate the crash window: duplicate a partition's data file under a
+    // compact- name (rows now appear twice in that partition)
+    val somePart = {
+      def leaves(d: String, n: Int): Seq[String] =
+        if (n == 0) Seq(d)
+        else Fs.listDirNames(d).filter(_.contains("="))
+          .flatMap(x => leaves(s"$d/$x", n - 1))
+      leaves(dir, 2).find(d => dataFiles(d).nonEmpty).get
+    }
+    val f = dataFiles(somePart).head
+    Fs.copyFile(f, s"$somePart/compact-dup-${f.split('/').last}")
+
+    // duplicates are invisible to the query path (dropDuplicates on id)
+    assert(topk() == before, "duplicate rows from a crashed swap must not change results")
+    // and a fresh compaction pass heals the partition back to one file
+    Similarity.compactLshIndex(spark, dir, maxFilesPerPartition = 1)
+    assert(dataFiles(somePart).size == 1)
+    assert(topk() == before)
+  }
+}
