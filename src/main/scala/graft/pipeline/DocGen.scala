@@ -90,4 +90,70 @@ object DocGen {
       .map(id => (id, docText(id)))
       .toDF("doc_id", "text")
   }
+
+  // ---- planted benchmark contamination (decontamination-stage prey) ----
+  // A reserved token space ("bm" + 8 hex chars) that can never collide
+  // with [[Vocab]], so the ONLY 8-grams a corpus document can share with
+  // a benchmark document are planted ones — the expected removal count
+  // of the decontamination stage is exact, not probabilistic.
+
+  private def bmToken(bench: Long, j: Int): String =
+    "bm" + java.lang.Long.toHexString(sm64(bench * 131071L + 31L * j + 5L))
+      .reverse.padTo(8, '0').reverse.takeRight(8)
+
+  /** Benchmark document `bench`: two 12-token sentences over the reserved
+    * token space (periods attach only to sentence-final tokens, so tokens
+    * 0..10 and 12..22 are clean in whitespace-token space).
+    */
+  def benchmarkText(bench: Long): String =
+    (0 until 2).map { s =>
+      val toks = (0 until 12).map(j => bmToken(bench, s * 12 + j))
+      toks.init.mkString(" ") + " " + toks.last + "."
+    }.mkString("\n")
+
+  /** Deterministic benchmark corpus: (doc_id, text), `n` documents. */
+  def benchmarkDocs(spark: SparkSession, n: Long, partitions: Int = 0): DataFrame = {
+    import spark.implicits._
+    val parts = if (partitions > 0) partitions
+      else math.max(2, spark.sparkContext.defaultParallelism)
+    spark.range(0L, n, 1L, parts)
+      .map(b => (b, benchmarkText(b)))
+      .toDF("doc_id", "text")
+  }
+
+  /** The contamination line planted into a corpus document: the first 10
+    * tokens of benchmark doc `bench`'s first sentence, period attached to
+    * the last. Tokens 0..8 stay clean, so the line shares EXACTLY two
+    * distinct word 8-grams — windows (0..7) and (1..8) — with the
+    * benchmark text: precisely [[graft.operators.Curation.contamination]]'s
+    * default `minCommon = 2`. The line ends in terminal punctuation with
+    * ≥ 3 words, so C4 line cleaning always keeps it (the plant survives
+    * to the decontamination stage unless dedup drops the whole document).
+    */
+  def plantLine(bench: Long): String =
+    (0 until 9).map(bmToken(bench, _)).mkString(" ") + " " + bmToken(bench, 9) + "."
+
+  /** Plant benchmark contamination into ~1/`everyK` of `docs`: document
+    * ids ≡ 13 (mod `everyK`) get [[plantLine]] of benchmark doc
+    * `sm64(id) mod nBench` appended as an extra line. Planting marks the
+    * TEXT (the reserved "bm" prefix), so a downstream count of
+    * contaminated survivors keys on content, not id arithmetic — exact
+    * even when dedup copies planted text onto other ids.
+    */
+  def plantContamination(
+      docs: DataFrame, nBench: Long, everyK: Int = 97): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    require(nBench > 0 && everyK > 1)
+    docs.select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (Math.floorMod(id, everyK.toLong) == 13L) {
+          val b = Math.floorMod(sm64(id * 0x9E3779B97F4A7C15L + 11L), nBench)
+          (id, text + "\n" + plantLine(b))
+        } else (id, text)
+      }
+      .toDF("doc_id", "text")
+  }
 }

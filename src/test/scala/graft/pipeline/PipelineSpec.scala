@@ -451,6 +451,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("planted contamination: decontam removes EXACTLY the contaminated survivors") {
+    val outDir = fsTmp("graft-curation-plant")
+    val nBench = 50L
+    // the reserved bm-token space cannot collide with the corpus vocab,
+    // so contaminated == planted — the expected removal count is exact
+    val docs = DocGen.plantContamination(
+      DocGen.dataset(spark, 800, partitions = 8), nBench)
+    val bench = DocGen.benchmarkDocs(spark, nBench)
+    val r = CurationJob.run(spark, docs, outDir, "p1",
+      inputId = "synth:800:planted", test = Some(bench), testId = s"bench:$nBench")
+    val rows = r.map(s => s.stage -> s.rows).toMap
+    // count planted text that SURVIVED to the decontam stage's input (a
+    // content predicate, not id arithmetic: dedup can copy planted text
+    // onto unplanted ids and remove planted originals)
+    val plantedSurvivors = spark.read
+      .parquet(CurationJob.stageDataDir(outDir, "neardup"))
+      .where(functions.col("text").rlike("bm[0-9a-f]{8}")).count()
+    val removed = rows("neardup") - rows("decontam")
+    assert(plantedSurvivors > 0, "some planted docs must survive cleaning+dedup")
+    assert(removed == plantedSurvivors,
+      s"decontam removed $removed, planted survivors $plantedSurvivors")
+    // and nothing planted survives decontamination
+    assert(spark.read.parquet(CurationJob.stageDataDir(outDir, "decontam"))
+      .where(functions.col("text").rlike("bm[0-9a-f]{8}")).count() == 0L)
+  }
+
   test("curation run refuses a test benchmark without a testId (resume-identity trap)") {
     val outDir = fsTmp("graft-curation-tid")
     val docs = DocGen.dataset(spark, 50, partitions = 2)
