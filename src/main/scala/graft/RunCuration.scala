@@ -82,7 +82,8 @@ object RunCuration {
     val sec = (System.nanoTime() - t0) / 1e9
 
     val stageJson = stages.map(s =>
-      s"""{"stage":"${CurationJob.esc(s.stage)}","rows":${s.rows},"resumed":${s.resumed}}""")
+      s"""{"stage":"${CurationJob.esc(s.stage)}","rows":${s.rows},""" +
+        s""""resumed":${s.resumed},"sec":${f"${s.sec}%.2f"}}""")
       .mkString("[", ",", "]")
     println(
       s"""{"job":"graft-curation","runId":"${CurationJob.esc(runId)}",""" +

@@ -64,7 +64,8 @@ object CurationJob {
       committedAtEpochMs: Long, configHash: String, upstreamId: String,
       lineage: String)
 
-  final case class StageResult(stage: String, rows: Long, resumed: Boolean)
+  final case class StageResult(
+      stage: String, rows: Long, resumed: Boolean, sec: Double = 0.0)
 
   /** The identity downstream stages pin as their `upstreamId`. */
   def stageIdentity(m: StageManifest): String =
@@ -202,9 +203,16 @@ object CurationJob {
       spark.read.parquet(stageDataDir(outDir, stage))
 
     val results = scala.collection.mutable.ListBuffer.empty[StageResult]
-    def record(stage: String, r: (StageManifest, Boolean)): StageManifest = {
-      results += StageResult(stage, r._1.rows, r._2)
-      r._1
+    // per-stage wall time rides the result so operators can read WHERE a
+    // chain spends its time (fixed per-stage overhead vs data-bound work)
+    // straight off the job's JSON line — the number that explains why
+    // core-scaling ratios are depressed at small corpus sizes
+    def record(stage: String, r: => (StageManifest, Boolean)): StageManifest = {
+      val t0 = System.nanoTime()
+      val res = r
+      results += StageResult(
+        stage, res._1.rows, res._2, (System.nanoTime() - t0) / 1e9)
+      res._1
     }
 
     // ---- 1. C4 clean: line filters, then document gate on the CLEANED

@@ -16,7 +16,7 @@ def run(extra: String*): String = {
   bout.toString("UTF-8").linesIterator.find(_.startsWith("{")).get
 }
 def stages(json: String): Seq[(String, Long, Boolean)] =
-  """\{"stage":"(\w+)","rows":(\d+),"resumed":(\w+)\}""".r
+  """\{"stage":"(\w+)","rows":(\d+),"resumed":(true|false)""".r
     .findAllMatchIn(json)
     .map(m => (m.group(1), m.group(2).toLong, m.group(3).toBoolean)).toSeq
 

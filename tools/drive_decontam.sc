@@ -39,7 +39,7 @@ def run(extra: String*): (Seq[(String, Long, Boolean)], Double) = {
   }
   val sec = (System.nanoTime() - t0) / 1e9
   val json = bout.toString("UTF-8").linesIterator.find(_.startsWith("{")).get
-  val stages = """\{"stage":"(\w+)","rows":(\d+),"resumed":(\w+)\}""".r
+  val stages = """\{"stage":"(\w+)","rows":(\d+),"resumed":(true|false)""".r
     .findAllMatchIn(json)
     .map(m => (m.group(1), m.group(2).toLong, m.group(3).toBoolean)).toSeq
   (stages, sec)
