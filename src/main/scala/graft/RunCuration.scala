@@ -19,6 +19,13 @@ import graft.pipeline.{CurationJob, DocGen}
   * changing a stage's parameters (or its upstream's output) recomputes it
   * and everything downstream. Prints one JSON line with the per-stage
   * row-count lineage.
+  *
+  * Heap sizing: always pin `-Xms` = `-Xmx` (add `-XX:+AlwaysPreTouch`
+  * in local mode). A lazy heap ceiling lets G1 grow/shrink committed
+  * memory under the Gopher kernel's allocation churn, and every
+  * executor thread then page-faults into freshly committed zeroed
+  * pages — measured 30× slower on that stage at `-Xmx24g` without
+  * `-Xms` (BASELINE.md round-5 heap-sizing note).
   */
 object RunCuration {
 
