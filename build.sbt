@@ -23,8 +23,20 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-javaOptions ++= jdk17AddOpens ++ Seq(
+val sparkProps = Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+val driverHeap = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
+// Bench/Verify forks pin -Xms = -Xmx and pre-touch: a lazy heap
+// ceiling lets G1 grow/shrink committed memory under allocation churn,
+// and executor threads then page-fault into freshly zeroed pages
+// mid-measurement — the instability behind the round-4 scaling-gate
+// miss (BASELINE.md round-5 heap-sizing note). The pre-touch cost is
+// paid once at JVM start, outside every measured leg.
+javaOptions ++= jdk17AddOpens ++ sparkProps ++ Seq(
+  s"-Xms$driverHeap", s"-Xmx$driverHeap", "-XX:+AlwaysPreTouch")
+// Test forks keep the lazy ceiling: on this microVM sandbox a 24 GiB
+// pre-touch can stall minutes in host-side fault handling, and the
+// suite's small jobs never hit the churn pathology.
+Test / javaOptions := jdk17AddOpens ++ sparkProps ++ Seq(s"-Xmx$driverHeap")
