@@ -423,8 +423,10 @@ object SparkEntry {
 
     // ---- oracle-checkable curation lineage (x22's three-check mirror):
     // the REAL CurationJob with its two non-SQL-expressible knobs
-    // neutralized — the top-n-gram repetition gate (kernel tier; thresholds
-    // at 1.0 pass everything, fractions are ≤ 1 by construction) and the
+    // neutralized — the top-n-gram repetition gate (kernel tier;
+    // thresholds at MaxValue pass everything — overlapping sliding
+    // windows mean the fractions CAN exceed 1.0 on repetition-dominated
+    // text, so 1.0 would be a real filter the SQL mirror omits) and the
     // MinHash near-dup stage (threshold > 1 admits no candidate pair) —
     // so every surviving stage (C4 clean → dup-line/para gates → exact
     // fingerprint dedup → hash split) has an exact DuckDB mirror. x22
@@ -440,7 +442,8 @@ object SparkEntry {
       // 80/10/10 split (vs the 98/1/1 production default) so all three
       // split partitions are non-empty at oracle SF — a stronger check
       val cfg = graft.pipeline.CurationJob.Config(
-        maxTop2 = 1.0, maxTop3 = 1.0, maxTop4 = 1.0,
+        maxTop2 = Double.MaxValue, maxTop3 = Double.MaxValue,
+        maxTop4 = Double.MaxValue,
         minhash = Dedup.MinHashParams(threshold = 1.1),
         splits = Seq(("train", 80), ("val", 10), ("test", 10)))
       val lineage = graft.pipeline.CurationJob
@@ -452,10 +455,7 @@ object SparkEntry {
         .parquet(graft.pipeline.CurationJob.stageDataDir(out, "split"))
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .collect().map(r => s"split_${r.getString(0)}" -> r.getLong(1))
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
+      graft.pipeline.Fs.deleteTree(out)
       (Seq("clean", "gates", "exact").map(st => st -> rows(st)) ++ splitCounts)
         .toDF("stage", "n_docs").orderBy(col("stage"))
     }),

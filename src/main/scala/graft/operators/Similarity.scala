@@ -442,7 +442,10 @@ object Similarity {
     * duplicate rows, never missing rows — and both [[lshTopKIndexed]]
     * and [[ivfTopKIndexed]] `dropDuplicates("id")`, so transient
     * duplication does not change any query result; re-running
-    * compactIndex heals it (the partition is over threshold again).
+    * compactIndex heals it (the partition is over threshold again, and
+    * the rewrite drops exact full-row duplicates — precisely what a
+    * crashed swap leaves — so the heal removes them rather than baking
+    * them into the compacted file).
     * Not safe under CONCURRENT appends to the same partition (run it
     * from the maintenance schedule, like any VACUUM).
     */
@@ -472,6 +475,7 @@ object Similarity {
     try {
       spark.read.option("basePath", path)
         .parquet(overgrown.map(_._1): _*)
+        .dropDuplicates()
         .repartition(partitionCols.map(col): _*)
         .write.mode("overwrite")
         .partitionBy(partitionCols: _*)

@@ -160,7 +160,14 @@ object Backup {
           val rel = Fs.relativize(outDir, f)
           val dst = s"$stage/files/$rel"
           Fs.copyFile(f, dst)
-          files += BackupFile(rel, Fs.md5(dst), Fs.fileSize(dst))
+          val digest = Fs.md5(dst)
+          // the "unreadable:" sentinel is for restore-side VERIFICATION;
+          // at creation it means the just-staged copy cannot be read back
+          // — committing it would record a backup that can never restore
+          if (digest.startsWith("unreadable:"))
+            throw new java.io.IOException(
+              s"backup aborted: staged file $dst failed read-back ($digest)")
+          files += BackupFile(rel, digest, Fs.fileSize(dst))
         }
       }
     }

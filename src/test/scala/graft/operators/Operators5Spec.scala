@@ -46,14 +46,14 @@ class Operators5Spec extends AnyFunSuite with BeforeAndAfterAll {
   private def dataFiles(dir: String): Seq[String] =
     Fs.listFilesRecursive(dir).filter(f => isData(f.split('/').last))
 
-  private def partitionFileCounts(path: String, depth: Int): Map[String, Int] = {
-    def leaves(dir: String, d: Int): Seq[String] =
-      if (d == 0) Seq(dir)
-      else Fs.listDirNames(dir).filter(_.contains("="))
-        .flatMap(x => leaves(s"$dir/$x", d - 1))
-    leaves(path, depth)
+  private def leafDirs(dir: String, depth: Int): Seq[String] =
+    if (depth == 0) Seq(dir)
+    else Fs.listDirNames(dir).filter(_.contains("="))
+      .flatMap(x => leafDirs(s"$dir/$x", depth - 1))
+
+  private def partitionFileCounts(path: String, depth: Int): Map[String, Int] =
+    leafDirs(path, depth)
       .map(d => Fs.relativize(path, d) -> dataFiles(d).size).toMap
-  }
 
   test("compactLshIndex: overgrown partitions collapse to one file, queries unchanged, under-threshold untouched") {
     val sp = spark; import sp.implicits._
@@ -151,21 +151,21 @@ class Operators5Spec extends AnyFunSuite with BeforeAndAfterAll {
 
     // simulate the crash window: duplicate a partition's data file under a
     // compact- name (rows now appear twice in that partition)
-    val somePart = {
-      def leaves(d: String, n: Int): Seq[String] =
-        if (n == 0) Seq(d)
-        else Fs.listDirNames(d).filter(_.contains("="))
-          .flatMap(x => leaves(s"$d/$x", n - 1))
-      leaves(dir, 2).find(d => dataFiles(d).nonEmpty).get
-    }
+    val somePart = leafDirs(dir, 2).find(d => dataFiles(d).nonEmpty).get
+    val rowsBefore = spark.read.parquet(somePart).count()
     val f = dataFiles(somePart).head
+    val fileRows = spark.read.parquet(f).count()
     Fs.copyFile(f, s"$somePart/compact-dup-${f.split('/').last}")
+    assert(spark.read.parquet(somePart).count() == rowsBefore + fileRows)
 
     // duplicates are invisible to the query path (dropDuplicates on id)
     assert(topk() == before, "duplicate rows from a crashed swap must not change results")
     // and a fresh compaction pass heals the partition back to one file
+    // AND drops the crash-duplicated rows (not bake them into the file)
     Similarity.compactLshIndex(spark, dir, maxFilesPerPartition = 1)
     assert(dataFiles(somePart).size == 1)
+    assert(spark.read.parquet(somePart).count() == rowsBefore,
+      "re-compaction must heal crash-duplicated rows, not persist them")
     assert(topk() == before)
   }
 }

@@ -27,7 +27,8 @@ run_leg() { # cores tag
   local cores=$1 tag=$2
   local dir; dir=$(mktemp -d /tmp/graft-curscale-XXXX)
   local json
-  json=$(java $OPENS -Xmx8g -Dspark.master=local[$cores] \
+  json=$(java $OPENS -Xms8g -Xmx8g -XX:+AlwaysPreTouch \
+    -Dspark.master=local[$cores] \
     -Dspark.ui.enabled=false -cp "/opt/spark/jars/*:$JAR" \
     graft.RunCuration --input synth:2000000 --output "$dir" \
     --run-id "$tag" 2>/dev/null | grep '^{' | tail -1)
