@@ -460,6 +460,48 @@ object SparkEntry {
         .toDF("stage", "n_docs").orderBy(col("stage"))
     }),
 
+    // ---- order-preserving concat (A7/A8), oracle-checked ----
+    // the SAME orderedConcat kernel assemble() uses (one hash aggregation,
+    // sort_array over struct — map-side combinable, no window), pointed at
+    // the events parquet where DuckDB's string_agg(… ORDER BY …) is an
+    // exact mirror: per-user event-type chains ordered by (ts, event_id).
+    // (ts, event_id) is a total order by construction (event_id unique),
+    // so both engines produce byte-identical chains; compared via md5
+    "q34_ordered_concat" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          md5(graft.pipeline.ExtractionJob.orderedConcat(
+            col("event_type"), "|", col("ts"), col("event_id"))).as("chain_md5"))
+    }),
+
+    // ---- near-dup CLUSTER resolution, oracle-checked ----
+    // x18's semantics over a 500-doc universe (+ two mutated generations,
+    // transitive chains) small enough for DuckDB to brute-force: exact
+    // 3-shingle Jaccard pairs at the SAME 0.7 verify threshold, then a
+    // recursive-CTE reachability closure computing min-id-per-component —
+    // the contract resolveClusters implements (union-find under the gate,
+    // distributed min-label propagation above it). threshold=0.7 (not the
+    // 0.6 default) keeps the lowest must-find pair's per-band-miss
+    // probability at (1-0.49)^16 ≈ 2e-5 (28 boundary pairs ⇒ expected
+    // misses ~6e-4) — the high-recall-banding trick q32 established,
+    // applied one operator downstream so the CLUSTER stage gets its own
+    // independent-engine check
+    "q35_cluster_resolve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 500)
+        .select(col("doc_id"), col("text"))
+      val gen1 = docs
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" extra tail token")).as("text"))
+      val gen2 = docs
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(lit("prefix bit "), col("text"), lit(" extra tail token more")).as("text"))
+      val pairs = Dedup.minHashNearDups(docs.union(gen1).union(gen2), "doc_id", "text",
+        Dedup.MinHashParams(numHashes = 32, bands = 16, threshold = 0.7))
+      Dedup.resolveClusters(pairs)
+    }),
+
     // ---- composed multi-step workflow with conditional branching ----
     // process -> extract_fields -> validate_data -> conditional routing
     // (workflows.py:139-208 dispatch; nested conditional in the false arm)
@@ -1085,6 +1127,77 @@ object SparkEntry {
     // high-recall LSH pipeline (q32) — same SQL, different planted tail.
     "x07_ngram_jaccard" -> exactJaccardOracle("jaccard tail"),
     "q32_minhash_verified" -> exactJaccardOracle("extra tail token"),
+
+    // ordered concat: string_agg with an explicit ORDER BY is DuckDB's
+    // native order-preserving aggregate — an exact mirror of the
+    // orderedConcat kernel because (ts, event_id) is tie-free
+    "q34_ordered_concat" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       md5(string_agg(event_type, '|' ORDER BY ts, event_id)) AS chain_md5
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    // cluster resolution: brute-force exact-Jaccard pairs at the query's
+    // 0.7 threshold over the SAME 1500-doc universe, then a recursive
+    // reachability closure — keep_id = min id reachable from each node,
+    // exactly the min-id-root contract of resolveClusters. The recursive
+    // CTE enumerates (node, reachable-node) pairs: fine here because
+    // components are generation chains (3-10 docs), never the full corpus
+    "q35_cluster_resolve" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 500
+        |),
+        |docs AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' extra tail token' FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, 'prefix bit ' || text || ' extra tail token more'
+        |  FROM base
+        |),
+        |toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts FROM docs
+        |),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |         ELSE list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+        |                             for i in generate_series(1, len(ts) - 2)])
+        |    END AS shingles
+        |  FROM toks
+        |),
+        |jp AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |        / (len(a.shingles) + len(b.shingles)
+        |           - len(list_intersect(a.shingles, b.shingles))) >= 0.7
+        |),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM jp
+        |  UNION ALL
+        |  SELECT id_b AS src, id_a AS dst FROM jp
+        |),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id
+        |)
+        |SELECT id, CAST(min(r) AS BIGINT) AS keep_id FROM reach GROUP BY id""".stripMargin,
+
+    // heavy hitters in the sketch's EXACT regime: the documents vocabulary
+    // is 31 distinct tokens (< capacity 100 — verified at sf0.01 AND
+    // sf0.1), so no space-saving eviction ever fires anywhere in the merge
+    // tree: every tracked count is the true count and every error is 0.
+    // GROUP BY is therefore a true oracle for the whole distributed
+    // sketch path (per-partition buffers + fixed binary merge tree)
+    "x14_heavy_hitters" ->
+      """SELECT tok AS item, CAST(count(*) AS BIGINT) AS "count",
+        |       CAST(0 AS BIGINT) AS "error"
+        |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |      FROM documents)
+        |WHERE tok <> ''
+        |GROUP BY tok""".stripMargin,
 
     // brute-force cosine pairs over embeddings ∪ identical planted copies:
     // at the 0.99 threshold only the planted identical pairs qualify

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.kernel.{DocType, SpanTemplates, TextKernel}
@@ -107,11 +107,25 @@ object ExtractionJob {
     (observed, obs)
   }
 
+  /** Order-preserving concat kernel (A7/A8): an AGGREGATE column that
+    * joins `value` in ascending (`orderBy`, value) order with `sep` —
+    * order restored by sort_array over struct(orderBy…, value), NOT a
+    * window, so map-side partial aggregation applies and giant groups
+    * don't serialize through one task. Shared by [[assemble]] and the
+    * oracle-checked q34 (DuckDB `string_agg(… ORDER BY …)` mirror).
+    * Struct field names never affect sort order, so naming the value
+    * field "v" keeps extraction simple without changing semantics.
+    */
+  def orderedConcat(value: Column, sep: String, orderBy: Column*): Column =
+    array_join(
+      transform(
+        array_sort(collect_list(struct(orderBy :+ value.as("v"): _*))),
+        x => x.getField("v")),
+      sep)
+
   /** Conversation-level assembly: the reference's `'\n\n'.join(pages)` in
     * stable page order (tesseract_engine.py:253, multi_engine.py:588) →
-    * one hash aggregation; order restored by sort_array over
-    * struct(turn_idx, …) — NOT a window, so map-side partial aggregation
-    * applies and giant conversations don't serialize through one task.
+    * one hash aggregation via the [[orderedConcat]] kernel.
     */
   def assemble(extracted: Dataset[ExtractedTurn]): DataFrame = {
     extracted
@@ -119,11 +133,7 @@ object ExtractionJob {
       .groupBy(col("conv_id"))
       .agg(
         count(lit(1)).as("n_turns"),
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("turn_idx"), col("text_clean")))),
-            x => x.getField("text_clean")),
-          "\n\n").as("full_text"),
+        orderedConcat(col("text_clean"), "\n\n", col("turn_idx")).as("full_text"),
         avg(col("conf_delta")).as("avg_conf_delta"),
         sum(col("patterns_detected")).as("total_patterns"),
         min(col("turn_idx")).as("first_turn"),

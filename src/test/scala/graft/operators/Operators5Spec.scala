@@ -168,4 +168,36 @@ class Operators5Spec extends AnyFunSuite with BeforeAndAfterAll {
       "re-compaction must heal crash-duplicated rows, not persist them")
     assert(topk() == before)
   }
+
+  test("orderedConcat: exact order restoration under shuffled multi-partition input") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions._
+    // rows deliberately scrambled and spread over partitions: order must
+    // come from the sort keys, never from arrival order
+    val rows = scala.util.Random.shuffle(
+      for { g <- 1 to 5; i <- 1 to 40 } yield (g, i, s"v${g}_$i"))
+    val df = rows.toDF("g", "i", "v").repartition(8)
+    val got = df.groupBy(col("g"))
+      .agg(graft.pipeline.ExtractionJob
+        .orderedConcat(col("v"), "|", col("i")).as("chain"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val want = (1 to 5).map(g => g -> (1 to 40).map(i => s"v${g}_$i").mkString("|")).toMap
+    assert(got == want)
+  }
+
+  test("heavyHitters exact regime: vocabulary under capacity => true counts, zero error") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions._
+    // 23 distinct items < capacity 50: no eviction fires in any partition
+    // buffer or merge-tree node, so the sketch IS a GROUP BY — the claim
+    // the x14 DuckDB oracle rests on (documents vocabulary 31 < 100)
+    val items = (0 until 20000).map(i => s"tok${i % 23}")
+    val df = items.toDF("tok").repartition(16)
+    val got = HeavyHitters.heavyHitters(df, col("tok"), 50)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.length == 23)
+    assert(got.forall(_._3 == 0L), "exact regime must report zero error")
+    assert(got.map(t => t._1 -> t._2).toMap == want)
+  }
 }
