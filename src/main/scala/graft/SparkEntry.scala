@@ -22,6 +22,22 @@ object SparkEntry {
   private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
+  /** `all` ∪ two mutated generations of `seeds` (transitive near-dup
+    * chains: tail-append at +1000000, prefix+longer-tail at +2000000).
+    * The mutation literals are load-bearing: the q35 oracle SQL mirrors
+    * them verbatim — change them together or the oracle silently
+    * compares a different universe. Shared by x18 and q35.
+    */
+  private def withMutantGenerations(all: DataFrame, seeds: DataFrame): DataFrame = {
+    val gen1 = seeds
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" extra tail token")).as("text"))
+    val gen2 = seeds
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        concat(lit("prefix bit "), col("text"), lit(" extra tail token more")).as("text"))
+    all.union(gen1).union(gen2)
+  }
+
   /** Flagship: the extraction pipeline end-to-end on a synthesized
     * transcript table (north rule). Driver smoke-checks rows > 0.
     */
@@ -491,13 +507,8 @@ object SparkEntry {
     "q35_cluster_resolve" -> ((s, dir) => {
       val docs = t(s, dir, "documents").where(col("doc_id") < 500)
         .select(col("doc_id"), col("text"))
-      val gen1 = docs
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(col("text"), lit(" extra tail token")).as("text"))
-      val gen2 = docs
-        .select((col("doc_id") + 2000000).as("doc_id"),
-          concat(lit("prefix bit "), col("text"), lit(" extra tail token more")).as("text"))
-      val pairs = Dedup.minHashNearDups(docs.union(gen1).union(gen2), "doc_id", "text",
+      val pairs = Dedup.minHashNearDups(withMutantGenerations(docs, docs),
+        "doc_id", "text",
         Dedup.MinHashParams(numHashes = 32, bands = 16, threshold = 0.7))
       Dedup.resolveClusters(pairs)
     }),
@@ -756,13 +767,8 @@ object SparkEntry {
     // copies form transitive chains; connected-component keepers survive
     "x18_dedup_resolve" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val gen1 = docs.where(col("doc_id") < 50)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(col("text"), lit(" extra tail token")).as("text"))
-      val gen2 = docs.where(col("doc_id") < 50)
-        .select((col("doc_id") + 2000000).as("doc_id"),
-          concat(lit("prefix bit "), col("text"), lit(" extra tail token more")).as("text"))
-      val kept = Dedup.dedupeNear(docs.union(gen1).union(gen2), "doc_id", "text")
+      val kept = Dedup.dedupeNear(
+        withMutantGenerations(docs, docs.where(col("doc_id") < 50)), "doc_id", "text")
       kept.agg(
         count(lit(1)).as("n_kept"),
         sum(when(col("doc_id") >= 1000000, 1).otherwise(0)).cast("long").as("mutant_ids_kept"))

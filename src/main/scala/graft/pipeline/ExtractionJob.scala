@@ -113,15 +113,18 @@ object ExtractionJob {
     * window, so map-side partial aggregation applies and giant groups
     * don't serialize through one task. Shared by [[assemble]] and the
     * oracle-checked q34 (DuckDB `string_agg(… ORDER BY …)` mirror).
-    * Struct field names never affect sort order, so naming the value
-    * field "v" keeps extraction simple without changing semantics.
+    * Struct field names never affect sort order, so every field is given
+    * a fresh positional name (k0…kn, v) — callers can pass columns with
+    * any name, including "v", without field-reference ambiguity.
     */
-  def orderedConcat(value: Column, sep: String, orderBy: Column*): Column =
+  def orderedConcat(value: Column, sep: String, orderBy: Column*): Column = {
+    val keyed = orderBy.zipWithIndex.map { case (c, i) => c.as(s"k$i") }
     array_join(
       transform(
-        array_sort(collect_list(struct(orderBy :+ value.as("v"): _*))),
+        array_sort(collect_list(struct(keyed :+ value.as("v"): _*))),
         x => x.getField("v")),
       sep)
+  }
 
   /** Conversation-level assembly: the reference's `'\n\n'.join(pages)` in
     * stable page order (tesseract_engine.py:253, multi_engine.py:588) →

@@ -39,12 +39,11 @@ object Render {
       .where(col("success"))
       .groupBy(col("conv_id"))
       .agg(
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("turn_idx"), col("role"), col("text_clean")))),
-            t => format_string("## Turn %d (%s)\n\n%s",
-              t.getField("turn_idx"), t.getField("role"), t.getField("text_clean"))),
-          "\n\n====================\n\n").as("body"))
+        ExtractionJob.orderedConcat(
+          format_string("## Turn %d (%s)\n\n%s",
+            col("turn_idx"), col("role"), col("text_clean")),
+          "\n\n====================\n\n",
+          col("turn_idx")).as("body"))
       .select(
         col("conv_id"),
         concat(format_string("# Conversation %s", col("conv_id")),
@@ -70,10 +69,8 @@ object Render {
         lit("</turn>"))
     extracted
       .where(col("success"))
-      .withColumn("_txml", struct(col("turn_idx"), turnXml.as("x")))
       .groupBy(col("conv_id"))
-      .agg(array_join(transform(array_sort(collect_list(col("_txml"))),
-        t => t.getField("x")), "").as("turns_xml"))
+      .agg(ExtractionJob.orderedConcat(turnXml, "", col("turn_idx")).as("turns_xml"))
       .select(
         col("conv_id"),
         concat(
