@@ -513,6 +513,31 @@ object SparkEntry {
       Dedup.resolveClusters(pairs)
     }),
 
+    // ---- C4 three-sentence-span corpus dedup (Raffel et al. §2.2) ----
+    // the exact cross-corpus span REWRITE the paper specifies (distinct
+    // from document-level near-dup): spans duplicated anywhere in the
+    // corpus survive only at their globally-minimal (id, position)
+    // occurrence. Universe: structured docs (the q33/q29 line-derivation
+    // trick gives the flat synthetic text real units) ∪ whole-doc copies
+    // at +3000000 — a copy's every span is a non-keeper duplicate, so
+    // copies with ≥3 units come back EMPTY (shorter ones have no spans
+    // and pass through) while originals keep their keeper spans; natural
+    // cross-doc duplicate spans are adjudicated by the same rule on both
+    // engines. Oracled by a window-function DuckDB mirror
+    "q36_c4_span_dedup" -> ((s, dir) => {
+      val structured = t(s, dir, "documents").where(col("doc_id") < 2000)
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("text"), "table", "table."), "\\. ", ".\n").as("text"))
+      val copies = structured.where(col("doc_id") < 100)
+        .select((col("doc_id") + 3000000).as("doc_id"), col("text"))
+      graft.operators.C4.spanDedup(structured.union(copies), "doc_id", "text")
+        .select(col("id").as("doc_id"),
+          col("n_units").cast("long").as("n_units"),
+          col("n_units_kept").cast("long").as("n_units_kept"),
+          md5(col("text_dedup")).as("text_md5"))
+    }),
+
     // ---- composed multi-step workflow with conditional branching ----
     // process -> extract_fields -> validate_data -> conditional routing
     // (workflows.py:139-208 dispatch; nested conditional in the false arm)
@@ -1190,6 +1215,23 @@ object SparkEntry {
         |  SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id
         |)
         |SELECT id, CAST(min(r) AS BIGINT) AS keep_id FROM reach GROUP BY id""".stripMargin,
+
+    // C4 span dedup: the same structured-text derivation as the q33
+    // oracle, then the shared window-function CTE mirror of spanDedup
+    "q36_c4_span_dedup" -> {
+      import graft.operators.C4
+      val st = "regexp_replace(regexp_replace(text, 'table', 'table.', 'g'), " +
+        "'\\. ', '.' || chr(10), 'g')"
+      s"""WITH rel AS (
+         |  SELECT doc_id, $st AS text FROM documents WHERE doc_id < 2000
+         |  UNION ALL
+         |  SELECT doc_id + 3000000 AS doc_id, $st AS text
+         |  FROM documents WHERE doc_id < 100
+         |),
+         |${C4.spanDedupSql("rel")}
+         |SELECT doc_id, n_units, n_units_kept, md5(text_dedup) AS text_md5
+         |FROM span_dedup""".stripMargin
+    },
 
     // heavy hitters in the sketch's EXACT regime: the documents vocabulary
     // is 31 distinct tokens (< capacity 100 — verified at sf0.01 AND

@@ -185,6 +185,38 @@ class Operators5Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("C4.spanDedup: hand-computed keeper/removal/overlap semantics") {
+    val sp = spark; import sp.implicits._
+    // n=3 newline units. Duplicated spans: (a,b,c) keeper (1,0);
+    // (b,c,d) keeper (1,1); (q,r,s) keeper (0,1); (m,n,o) keeper (7,0)
+    val docs = Seq(
+      (0L, "p\nq\nr\ns"),           // holds a keeper only — untouched
+      (1L, "a\nb\nc\nd"),           // both its spans are keepers — untouched
+      (2L, "a\nb\nc"),              // one non-keeper span covering all units — emptied
+      (3L, "x\ny"),                 // under n units — untouched
+      (4L, ""),                     // single empty unit — untouched
+      (5L, "b\nc\nd\nz"),           // non-keeper (b,c,d) deletes 0..2, z survives
+      (6L, "q\nr\ns\nt"),           // non-keeper (q,r,s) deletes 0..2, t survives
+      (7L, "m\nn\no\np2\nq2\nr2"),  // keeper of (m,n,o) — untouched
+      (8L, "m\nn\no"),              // non-keeper of (m,n,o) — emptied
+      (9L, "b\nc\nd\na\nb\nc")      // two non-keeper spans cover 0..5 — emptied
+    ).toDF("doc_id", "text").repartition(4)
+    val got = C4.spanDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    val want = Map(
+      0L -> ((4, 4, "p\nq\nr\ns")),
+      1L -> ((4, 4, "a\nb\nc\nd")),
+      2L -> ((3, 0, "")),
+      3L -> ((2, 2, "x\ny")),
+      4L -> ((1, 1, "")),
+      5L -> ((4, 1, "z")),
+      6L -> ((4, 1, "t")),
+      7L -> ((6, 6, "m\nn\no\np2\nq2\nr2")),
+      8L -> ((3, 0, "")),
+      9L -> ((6, 0, "")))
+    assert(got == want)
+  }
+
   test("heavyHitters exact regime: vocabulary under capacity => true counts, zero error") {
     val sp = spark; import sp.implicits._
     import org.apache.spark.sql.functions._
