@@ -12,7 +12,7 @@ import graft.pipeline.{CurationJob, DocGen}
   *     --input <parquet dir | synth:NDOCS> --output <dir> \
   *     [--test <benchmark parquet>] [--run-id rc1] \
   *     [--id-col doc_id] [--text-col text] [--version-tag <tag>] \
-  *     [--max-partition-bytes 16m]
+  *     [--max-partition-bytes 16m] [--span-dedup true]
   *
   * Re-running with the same --output RESUMES: stages whose config hash
   * and upstream identity match their committed manifest are skipped;
@@ -47,6 +47,7 @@ object RunCuration {
     val idCol = opts.getOrElse("id-col", "doc_id")
     val textCol = opts.getOrElse("text-col", "text")
     val cfg = CurationJob.Config(
+      spanDedup = opts.getOrElse("span-dedup", "false").toBoolean,
       version = opts.getOrElse("version-tag", CurationJob.Version))
 
     val builder = SparkSession.builder()

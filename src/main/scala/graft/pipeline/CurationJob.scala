@@ -12,6 +12,7 @@ import graft.operators.{C4, Curation, Dedup, TextAnalysis}
   * [[Checkpoint]]/`RunExtraction` pair:
   *
   *   clean (C4 line+document filters) →
+  *   spans (C4 corpus-level three-sentence-span dedup; optional) →
   *   gates (Gopher duplicate-line/paragraph + top-n-gram repetition) →
   *   exact (fingerprint dedup) →
   *   neardup (MinHash-LSH pairs → cluster resolution → removal) →
@@ -50,8 +51,15 @@ object CurationJob {
   /** Bump on any semantic change to the stage implementations. */
   val Version: String = "graft-curation-r4b"
 
+  /** `spanDedup` enables the optional corpus-level C4 span-dedup stage
+    * ("spans", [[graft.operators.C4.spanDedup]]) between clean and gates
+    * — off by default so existing chains' stage hashes and manifests are
+    * untouched; toggling it flips the gates stage's upstream identity,
+    * which invalidates gates and everything downstream (never clean).
+    */
   final case class Config(
       c4MinWords: Int = 3, c4MinSentences: Int = 5,
+      spanDedup: Boolean = false, spanN: Int = 3,
       maxDupLineFrac: Double = 0.30, maxDupParaFrac: Double = 0.30,
       maxTop2: Double = 0.20, maxTop3: Double = 0.18, maxTop4: Double = 0.16,
       minhash: Dedup.MinHashParams = Dedup.MinHashParams(),
@@ -226,13 +234,30 @@ object CurationJob {
         .where(C4.keepDocument(col("text"), cfg.c4MinSentences))
     })
 
+    // ---- 1b. C4 span dedup (optional): the paper's corpus-level
+    // three-sentence-span rewrite over the cleaned text; documents whose
+    // every unit was a non-keeper duplicate are dropped (nothing left to
+    // train on). Its own stage so the span-key shuffle — the most
+    // expensive clean-tier computation — resumes independently.
+    val m1b =
+      if (!cfg.spanDedup) m1
+      else {
+        val h1b = md5(s"${cfg.version}|spans|${cfg.spanN}")
+        record("spans", runStage(outDir, "spans", runId, h1b,
+          upstreamId = stageIdentity(m1), lineage = "c4 span dedup") {
+          C4.spanDedup(data("clean"), "doc_id", "text", cfg.spanN)
+            .where(col("text_dedup") =!= "")
+            .select(col("id").as("doc_id"), col("text_dedup").as("text"))
+        })
+      }
+
     // ---- 2. Gopher gates: dup-line/paragraph fractions are pushable
     // predicates; the top-n-gram rule is the kernel tier (mapPartitions)
     val h2 = md5(s"${cfg.version}|gates|${cfg.maxDupLineFrac}|${cfg.maxDupParaFrac}|" +
       s"${cfg.maxTop2}|${cfg.maxTop3}|${cfg.maxTop4}")
     val m2 = record("gates", runStage(outDir, "gates", runId, h2,
-      upstreamId = stageIdentity(m1), lineage = "gopher repetition gates") {
-      data("clean")
+      upstreamId = stageIdentity(m1b), lineage = "gopher repetition gates") {
+      data(m1b.stage)
         .where(TextAnalysis.repetitionGate(
           col("text"), cfg.maxDupLineFrac, cfg.maxDupParaFrac))
         .select(col("doc_id"), col("text")).as[(Long, String)]

@@ -433,6 +433,52 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "curation chain must leave no persisted RDDs behind")
   }
 
+  test("curation chain: optional C4 span-dedup stage — lineage, resume, toggle invalidation") {
+    val outDir = fsTmp("graft-curation-spans")
+    val docs = DocGen.dataset(spark, 600, partitions = 8)
+    val cfgS = CurationJob.Config(spanDedup = true)
+
+    // cold: the spans stage sits between clean and gates and must drop
+    // documents — DocGen's planted exact duplicates are 6..19-line docs
+    // whose every span is a non-keeper duplicate, so they come back empty
+    val r1 = CurationJob.run(spark, docs, outDir, "s1", cfgS, inputId = "synth:600")
+    assert(r1.map(_.stage) ==
+      Seq("clean", "spans", "gates", "exact", "neardup", "split"))
+    val rows = r1.map(s => s.stage -> s.rows).toMap
+    assert(rows("spans") < rows("clean"),
+      s"planted whole-doc duplicates must be emptied by span dedup: $rows")
+    assert(rows("gates") <= rows("spans"))
+    // whole-doc exact duplicates vanish at the spans stage, but near-dup
+    // plants COLLAPSE there instead: all spans shared with the original
+    // are removed, leaving only the distinctive tail line — and those
+    // identical remainders become fresh exact duplicates the exact stage
+    // then removes. Downstream stages still monotonically shrink
+    assert(rows("exact") <= rows("gates"), s"got $rows")
+    // the surviving corpus has no duplicated 3-line span anywhere
+    val spansOut = spark.read.parquet(CurationJob.stageDataDir(outDir, "spans"))
+    val unitCol = functions.split(functions.col("text"), "\n")
+    val dupSpans = spansOut
+      .where(functions.size(unitCol) >= 3)
+      .select(functions.explode(functions.transform(
+        functions.sequence(functions.lit(0), functions.size(unitCol) - 3),
+        i => functions.md5(functions.concat_ws("\n",
+          functions.slice(unitCol, i + 1, functions.lit(3)))))).as("k"))
+      .groupBy("k").count().where(functions.col("count") > 1).count()
+    assert(dupSpans == 0, "no 3-unit span may occur twice after the spans stage")
+
+    // resume: identical config skips everything including spans
+    val r2 = CurationJob.run(spark, docs, outDir, "s2", cfgS, inputId = "synth:600")
+    assert(r2.forall(_.resumed), s"full resume expected, got $r2")
+
+    // toggling the flag off removes the stage and invalidates gates and
+    // downstream (upstream identity flips back to clean) — never clean
+    val r3 = CurationJob.run(spark, docs, outDir, "s3", inputId = "synth:600")
+    assert(r3.map(_.stage) == Seq("clean", "gates", "exact", "neardup", "split"))
+    val resumed3 = r3.map(s => s.stage -> s.resumed).toMap
+    assert(resumed3("clean") && !resumed3("gates"), s"got $r3")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("inputIdentity fingerprints the file listing: appends under the same path invalidate") {
     val dir = Files.createTempDirectory("graft-inpid").toString + "/d"
     DocGen.dataset(spark, 10).write.parquet(dir)
