@@ -12,7 +12,7 @@ import graft.pipeline.{CurationJob, DocGen}
   *     --input <parquet dir | synth:NDOCS> --output <dir> \
   *     [--test <benchmark parquet>] [--run-id rc1] \
   *     [--id-col doc_id] [--text-col text] [--version-tag <tag>] \
-  *     [--max-partition-bytes 16m] [--span-dedup true]
+  *     [--max-partition-bytes 16m] [--span-dedup true] [--span-n 3]
   *
   * Re-running with the same --output RESUMES: stages whose config hash
   * and upstream identity match their committed manifest are skipped;
@@ -46,8 +46,14 @@ object RunCuration {
       s"rc-${java.util.UUID.randomUUID().toString.take(8)}")
     val idCol = opts.getOrElse("id-col", "doc_id")
     val textCol = opts.getOrElse("text-col", "text")
+    val spanDedup = opts.getOrElse("span-dedup", "false") match {
+      case "true" => true
+      case "false" => false
+      case other => sys.error(s"--span-dedup must be true or false, got '$other'")
+    }
     val cfg = CurationJob.Config(
-      spanDedup = opts.getOrElse("span-dedup", "false").toBoolean,
+      spanDedup = spanDedup,
+      spanN = opts.get("span-n").map(_.toInt).getOrElse(3),
       version = opts.getOrElse("version-tag", CurationJob.Version))
 
     val builder = SparkSession.builder()

@@ -210,6 +210,20 @@ object CurationJob {
     def data(stage: String): DataFrame =
       spark.read.parquet(stageDataDir(outDir, stage))
 
+    // retract OPTIONAL stages absent from THIS run's lineage (spans when
+    // the flag is off, decontam when no benchmark is passed): their data
+    // is corpus-sized and a committed manifest would otherwise look
+    // current to anyone listing stages/*/manifest.json even though no
+    // downstream stage pins it. Manifest first, then data — the existing
+    // "no reader ever sees manifest-present/data-missing" invariant
+    def retractInactive(stage: String): Unit =
+      if (Fs.exists(manifestPath(outDir, stage))) {
+        Fs.deleteIfExists(manifestPath(outDir, stage))
+        Fs.deleteTree(s"$outDir/stages/$stage")
+      }
+    if (!cfg.spanDedup) retractInactive("spans")
+    if (test.isEmpty) retractInactive("decontam")
+
     val results = scala.collection.mutable.ListBuffer.empty[StageResult]
     // per-stage wall time rides the result so operators can read WHERE a
     // chain spends its time (fixed per-stage overhead vs data-bound work)

@@ -476,6 +476,11 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r3.map(_.stage) == Seq("clean", "gates", "exact", "neardup", "split"))
     val resumed3 = r3.map(s => s.stage -> s.resumed).toMap
     assert(resumed3("clean") && !resumed3("gates"), s"got $r3")
+    // ...and RETRACTS the now-inactive spans stage: its corpus-sized
+    // parquet and its manifest (which no downstream stage pins any more)
+    // must not linger as a stale, current-looking stage dir
+    assert(!Fs.exists(s"$outDir/stages/spans"),
+      "toggling span-dedup off must retract the orphaned spans stage")
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
