@@ -217,6 +217,21 @@ class Operators5Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("C4.spanDedup n=1: degenerates to corpus-level exact line dedup") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "a\nb"), // both lines are keepers
+      (2L, "b\nc"), // b duplicates (1,1) -> removed; c survives
+      (3L, "a")     // a duplicates (1,0) -> removed entirely
+    ).toDF("doc_id", "text")
+    val got = C4.spanDedup(docs, "doc_id", "text", n = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(got == Map(
+      1L -> ((2, 2, "a\nb")),
+      2L -> ((2, 1, "c")),
+      3L -> ((1, 0, ""))))
+  }
+
   test("heavyHitters exact regime: vocabulary under capacity => true counts, zero error") {
     val sp = spark; import sp.implicits._
     import org.apache.spark.sql.functions._
