@@ -13,8 +13,9 @@ package graft.pipeline
   * Scale shape: all metadata decisions are made from the tiny per-bucket
   * manifests; file bytes are streamed copy+hash. The store layout
   * (bucket-granular manifests committed atomically) means an incremental
-  * backup is "buckets committed after the last backup's watermark" — no
-  * file-tree diffing. All I/O rides the Hadoop FileSystem seam ([[Fs]]),
+  * backup is "buckets whose identity changed since the chain last
+  * captured them" — no file-tree diffing. All I/O rides the Hadoop
+  * FileSystem seam ([[Fs]]),
   * so source and target can be local disk, HDFS, or a configured object
   * store; the backup manifest's commit-by-rename is atomic where the FS
   * provides it (see [[Fs]] for the object-store degradation, which only
@@ -66,10 +67,32 @@ object Backup {
       s""""bucketIdentities":$ids,"files":$files}"""
   }
 
+  /** Read a backup's manifest. Returns None when the manifest is absent,
+    * UNPARSEABLE (one corrupt/truncated backup.json must not brick
+    * listBackups and with it every backup/cleanup on the shared
+    * backupDir), or when its DECLARED backupId differs from the directory
+    * name — a hand-copied `b1-old` dir whose manifest still says `b1`
+    * would otherwise alias two directories under one id, confusing
+    * retention keep/delete and restore reporting. Such entries are
+    * treated as absent and surfaced on stderr.
+    */
   def readBackupManifest(backupDir: String, backupId: String): Option[BackupManifest] = {
-    val s = Fs.readString(s"$backupDir/$backupId/backup.json").getOrElse(return None)
+    val path = s"$backupDir/$backupId/backup.json"
+    val s = Fs.readString(path).getOrElse(return None)
     import org.json4s._
-    val j = org.json4s.jackson.JsonMethods.parse(s)
+    val j =
+      try org.json4s.jackson.JsonMethods.parse(s)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[backup] skipping unparseable manifest $path: $e")
+          return None
+      }
+    val declared = (j \ "backupId") match { case JString(x) => x; case _ => "" }
+    if (declared != backupId) {
+      System.err.println(s"[backup] skipping $path: declared backupId " +
+        s"'$declared' does not match directory name '$backupId'")
+      return None
+    }
     def str(v: JValue): String = v match { case JString(x) => x; case _ => "" }
     def lng(v: JValue): Long = v match {
       case JInt(i) => i.toLong; case JLong(i) => i; case _ => 0L
@@ -112,9 +135,12 @@ object Backup {
 
   /** Create a backup of the checkpoint store at `outDir`.
     *
-    * `incremental = true` includes only buckets whose manifest commit time
-    * is STRICTLY after the last completed backup's watermark; with no
-    * prior backup it degrades to a full backup (backup_manager.py:355-358
+    * `incremental = true` includes only buckets whose current identity
+    * (runId@commitMs@rows@bytes) differs from what the backup chain
+    * already captured — see [[backedUpIdentities]]; the manifest's
+    * watermarkEpochMs records the newest commit included, as lineage
+    * metadata only. With no prior backup it degrades to a full backup
+    * (backup_manager.py:355-358
     * "Primeiro backup - executando backup completo"). The backup manifest
     * is written LAST via atomic rename — a crashed backup leaves no
     * manifest and is invisible to [[listBackups]]/restore, the same
@@ -208,8 +234,14 @@ object Backup {
       Fs.deleteTree(s"$targetDir/data/part_id=$k")
       Fs.deleteIfExists(s"$targetDir/manifests/part-$k.json")
     }
+    // DATA files first, checkpoint manifests LAST — the store's own
+    // commit discipline (manifest present ⇒ data durable). A crash
+    // mid-restore then leaves manifest-absent buckets that Checkpoint.run
+    // simply recomputes, never a committed manifest over partial parquet
+    val (manifestFiles, dataFiles) =
+      m.files.partition(_.relPath.startsWith("manifests/"))
     var bytes = 0L
-    m.files.foreach { f =>
+    (dataFiles ++ manifestFiles).foreach { f =>
       Fs.copyFile(s"$filesRoot/${f.relPath}", s"$targetDir/${f.relPath}")
       bytes += f.bytes
     }
@@ -256,6 +288,14 @@ object Backup {
     }
     val doomed = all.filterNot(m => keep.contains(m.backupId))
     doomed.foreach(m => Fs.deleteTree(s"$backupDir/${m.backupId}"))
+    // stale staging dirs: a crashed backup leaves .<id>.tmp (potentially
+    // store-sized file bytes) that no listing shows and only an exact-id
+    // retry would replace — reap those older than the retention window
+    // (mtime-aged, so an in-flight backup running concurrently is safe)
+    Fs.listDirNames(backupDir)
+      .filter(d => d.startsWith(".") && d.endsWith(".tmp"))
+      .filter(d => (nowMs - Fs.mtime(s"$backupDir/$d")) > retentionMs)
+      .foreach(d => Fs.deleteTree(s"$backupDir/$d"))
     doomed.map(_.backupId)
   }
 }

@@ -42,7 +42,12 @@ object Checkpoint {
       runId: String,
       committedAtEpochMs: Long,
       lineage: String,
-      configHash: String = "")
+      configHash: String = "",
+      // the store's bucket count at commit time: conversations are placed
+      // mod numBuckets, so a resume under a DIFFERENT count would silently
+      // drop (smaller) or duplicate (larger) conversations — recorded so
+      // validBuckets/readResult can fail loudly instead
+      numBuckets: Int = 0)
 
   // manifest I/O rides the Hadoop FileSystem seam ([[Fs]]) so the store
   // works on HDFS/object storage, not just a local disk
@@ -55,8 +60,9 @@ object Checkpoint {
     def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val json =
       s"""{"partId":${m.partId},"rows":${m.rows},"bytes":${m.bytes},""" +
-        s""""runId":"${m.runId}","committedAtEpochMs":${m.committedAtEpochMs},""" +
-        s""""lineage":"${esc(m.lineage)}","configHash":"${esc(m.configHash)}"}"""
+        s""""runId":"${esc(m.runId)}","committedAtEpochMs":${m.committedAtEpochMs},""" +
+        s""""lineage":"${esc(m.lineage)}","configHash":"${esc(m.configHash)}",""" +
+        s""""numBuckets":${m.numBuckets}}"""
     Fs.writeAtomic(manifestPath(outDir, m.partId), json)
   }
 
@@ -71,9 +77,26 @@ object Checkpoint {
         case JString(v) => v; case _ => ""
       }
       Manifest(l("partId").toInt, l("rows"), l("bytes"), str("runId"),
-        l("committedAtEpochMs"), str("lineage"), str("configHash"))
+        l("committedAtEpochMs"), str("lineage"), str("configHash"),
+        l("numBuckets").toInt)
     }
   }
+
+  /** Fail loudly when a committed manifest was written under a different
+    * bucket count: the placement mod changed, so "resume" would silently
+    * DROP conversations (smaller count: buckets ≥ numBuckets are never
+    * read) or DUPLICATE them (larger: old mod-N data unioned with new
+    * mod-M recomputes). A store is bound to its bucket count for life —
+    * use a fresh outDir to rebucket. numBuckets==0 manifests predate the
+    * field and are accepted (legacy stores).
+    */
+  private def requireSameBucketCount(m: Manifest, numBuckets: Int): Unit =
+    if (m.numBuckets != 0 && m.numBuckets != numBuckets)
+      throw new IllegalStateException(
+        s"checkpoint store was committed with numBuckets=${m.numBuckets} " +
+          s"(bucket ${m.partId}) but this run uses numBuckets=$numBuckets — " +
+          "resuming would drop or duplicate conversations; rebucket into a " +
+          "fresh outDir instead")
 
   def completedBuckets(outDir: String, numBuckets: Int): Seq[Int] =
     (0 until numBuckets).filter(k => Fs.exists(manifestPath(outDir, k)))
@@ -89,8 +112,10 @@ object Checkpoint {
       outDir: String, numBuckets: Int, configHash: String,
       ttlMs: Long = Long.MaxValue, nowMs: Long = System.currentTimeMillis()): Seq[Int] =
     (0 until numBuckets).filter { k =>
-      readManifest(outDir, k).exists(m =>
-        m.configHash == configHash && (nowMs - m.committedAtEpochMs) <= ttlMs)
+      readManifest(outDir, k).exists { m =>
+        requireSameBucketCount(m, numBuckets)
+        m.configHash == configHash && (nowMs - m.committedAtEpochMs) <= ttlMs
+      }
     }
 
   /** Run the extraction resumably. Returns the manifests committed in THIS
@@ -122,11 +147,37 @@ object Checkpoint {
     val done = validBuckets(outDir, numBuckets, configHash, ttlMs).toSet
     val todo = (0 until numBuckets).filterNot(done)
     val committed = scala.collection.mutable.ListBuffer.empty[Manifest]
+    val groups = todo.grouped(groupSize).toSeq
 
-    todo.grouped(groupSize).foreach { group =>
-      val withBucket = turns
-        .withColumn("part_id", pmod(hash(col("conv_id")), lit(numBuckets)))
-        .where(col("part_id").isin(group: _*))
+    // with more than one group to run, stage the bucketed TODO subset
+    // once: the direct form re-scans the FULL input per group (at cluster
+    // scale, numBuckets/groupSize corpus scans), while the staged form
+    // costs one scan + one filtered write, after which every group is a
+    // partition-PRUNED read of only its own buckets. Transient (deleted on
+    // completion and at the start of the next run); a crash mid-run leaves
+    // only this scratch, never corrupt store state. Single-group runs —
+    // the common incremental resume — keep the direct zero-copy path.
+    val staging = s"$outDir/.input-staged"
+    Fs.deleteTree(staging)
+    val staged: Option[DataFrame] =
+      if (groups.length <= 1) None
+      else {
+        val all = turns
+          .withColumn("part_id", pmod(hash(col("conv_id")), lit(numBuckets)))
+        val subset =
+          if (todo.size == numBuckets) all
+          else all.where(col("part_id").isin(todo: _*))
+        subset.write.partitionBy("part_id").parquet(staging)
+        Some(spark.read.option("basePath", staging).parquet(staging))
+      }
+
+    groups.foreach { group =>
+      val withBucket = staged match {
+        case Some(src) => src.where(col("part_id").isin(group: _*))
+        case None => turns
+          .withColumn("part_id", pmod(hash(col("conv_id")), lit(numBuckets)))
+          .where(col("part_id").isin(group: _*))
+      }
       // salted spread of giant conversations across tasks (the analog of
       // the reference's 50-page PDF split); without it a conversation
       // clustered into one input split serializes through one task
@@ -181,19 +232,42 @@ object Checkpoint {
           Fs.deleteTree(dir)
         }
         val m = Manifest(k, rows, Fs.dirBytes(dir), runId,
-          System.currentTimeMillis(), lineage, configHash)
+          System.currentTimeMillis(), lineage, configHash, numBuckets)
         writeManifest(outDir, m)
         committed += m
       }
     }
+    Fs.deleteTree(staging)
     committed.toSeq
   }
 
-  /** Read back only committed buckets. */
-  def readResult(spark: SparkSession, outDir: String, numBuckets: Int): DataFrame = {
-    val done = completedBuckets(outDir, numBuckets)
-    val dirs = done.map(k => s"${dataDir(outDir)}/part_id=$k")
-      .filter(Fs.exists)
+  /** Read back only committed buckets. Fails loudly on a bucket-count
+    * mismatch and on a committed manifest (rows > 0) whose data directory
+    * is missing — the manifest-present/data-missing state the commit
+    * discipline guarantees can never exist, so serving around it would
+    * hide corruption. Pass `configHash` to read only buckets valid for
+    * that config (the validBuckets filter); the default reads every
+    * committed bucket regardless of config generation — callers mixing
+    * config generations mid-migration must opt in to that explicitly.
+    */
+  def readResult(
+      spark: SparkSession, outDir: String, numBuckets: Int,
+      configHash: Option[String] = None): DataFrame = {
+    val done = (0 until numBuckets).flatMap(k =>
+      readManifest(outDir, k).map { m =>
+        requireSameBucketCount(m, numBuckets)
+        m
+      })
+      .filter(m => configHash.forall(_ == m.configHash))
+    val dirs = done.flatMap { m =>
+      val dir = s"${dataDir(outDir)}/part_id=${m.partId}"
+      if (Fs.exists(dir)) Some(dir)
+      else if (m.rows == 0L) None // 0-row buckets legitimately have no dir
+      else throw new IllegalStateException(
+        s"bucket ${m.partId}: manifest records ${m.rows} rows but $dir is " +
+          "missing — the store is corrupt (manifests are committed only " +
+          "after data is durable); restore from backup or recompute")
+    }
     if (dirs.isEmpty) spark.emptyDataFrame
     else spark.read.option("basePath", dataDir(outDir)).parquet(dirs: _*)
   }

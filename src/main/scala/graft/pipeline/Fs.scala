@@ -174,11 +174,25 @@ object Fs {
     }
   }
 
-  /** `child`'s path relative to `base` (scheme-insensitive). */
+  /** `child`'s path relative to `base` (scheme-insensitive). Both sides
+    * are fully QUALIFIED against their filesystem first: listings return
+    * absolute qualified paths (file:/abs/...), so a caller-supplied
+    * RELATIVE base would otherwise never prefix-match its own children.
+    */
   def relativize(base: String, child: String): String = {
-    val b = hpath(base).toUri.getPath.stripSuffix("/")
-    val c = hpath(child).toUri.getPath
+    def qualified(s: String): String = {
+      val p = hpath(s)
+      fsOf(p).makeQualified(p).toUri.getPath
+    }
+    val b = qualified(base).stripSuffix("/")
+    val c = qualified(child)
     require(c.startsWith(b + "/"), s"$child is not under $base")
     c.substring(b.length + 1)
+  }
+
+  /** Modification time (epoch ms) of a path, 0 if absent. */
+  def mtime(s: String): Long = {
+    val p = hpath(s); val fs = fsOf(p)
+    if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else 0L
   }
 }

@@ -271,6 +271,54 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Checkpoint.readResult(spark, outDir, numBuckets).count() == filtered.count())
   }
 
+  test("checkpoint: bucket-count mismatch fails loudly instead of dropping/duplicating") {
+    val outDir = fsTmp("graft-ckpt-nb")
+    val ds = TranscriptGen.dataset(spark, 10)
+    Checkpoint.run(ds, outDir, 8, runId = "nb-1", groupSize = 3)
+    // placement is mod numBuckets: a "resume" under a different count
+    // would silently lose (smaller) or duplicate (larger) conversations
+    intercept[IllegalStateException] { Checkpoint.run(ds, outDir, 4, runId = "nb-2") }
+    intercept[IllegalStateException] { Checkpoint.run(ds, outDir, 16, runId = "nb-3") }
+    intercept[IllegalStateException] { Checkpoint.readResult(spark, outDir, 4) }
+    assert(Checkpoint.readResult(spark, outDir, 8).count() ==
+      TranscriptGen.totalTurns(10))
+    // the multi-group run's input staging scratch never outlives the run
+    assert(!Fs.exists(s"$outDir/.input-staged"))
+  }
+
+  test("checkpoint: committed manifest over a missing data dir fails readResult loudly") {
+    val outDir = fsTmp("graft-ckpt-miss")
+    val ds = TranscriptGen.dataset(spark, 10)
+    val run1 = Checkpoint.run(ds, outDir, 4, runId = "m-1")
+    val k = run1.filter(_.rows > 0).head.partId
+    Fs.deleteTree(s"$outDir/data/part_id=$k")
+    // manifest-present/data-missing violates the commit discipline —
+    // surfacing corruption beats silently serving a partial store
+    intercept[IllegalStateException] { Checkpoint.readResult(spark, outDir, 4) }
+  }
+
+  test("backup: corrupt/id-mismatched manifests are skipped, stale staging reaped") {
+    val outDir = fsTmp("graft-bk-guard")
+    val backupDir = fsTmp("graft-bk-guard-dst")
+    val ds = TranscriptGen.dataset(spark, 10)
+    Checkpoint.run(ds, outDir, 4, runId = "b-1")
+    Backup.backup(outDir, 4, backupDir, "b1")
+    // a truncated backup.json must not brick the listing for the whole dir
+    Fs.mkdirs(s"$backupDir/bad")
+    Fs.writeAtomic(s"$backupDir/bad/backup.json", "{truncated")
+    // a hand-copied dir whose manifest still declares the original id
+    // must not alias two directories under one id
+    Fs.mkdirs(s"$backupDir/b1-old")
+    Fs.copyFile(s"$backupDir/b1/backup.json", s"$backupDir/b1-old/backup.json")
+    assert(Backup.listBackups(backupDir).map(_.backupId) == Seq("b1"))
+    // a crashed backup's .tmp staging dir is reaped once past retention
+    Fs.mkdirs(s"$backupDir/.dead.tmp/files")
+    Backup.cleanupOldBackups(backupDir, retentionMs = 1000L,
+      nowMs = System.currentTimeMillis() + 10000L)
+    assert(!Fs.exists(s"$backupDir/.dead.tmp"))
+    assert(Fs.exists(s"$backupDir/b1"), "most recent backup per source is always kept")
+  }
+
   test("backup/restore: full + incremental watermarks, hash validation, retention") {
     val outDir = fsTmp("graft-bk-src")
     val backupDir = fsTmp("graft-bk-dst")
