@@ -40,6 +40,11 @@ object Scheduler {
 
   final case class Daily(
       hour: Int, minute: Int, zone: ZoneId = ZoneOffset.UTC) extends Schedule {
+    // validate EAGERLY (like Interval): nextAfter is called from due()
+    // outside runPending's per-job isolation, so a lazily-thrown
+    // DateTimeException would kill the whole runner on every tick
+    require(hour >= 0 && hour <= 23, s"hour must be 0..23, got $hour")
+    require(minute >= 0 && minute <= 59, s"minute must be 0..59, got $minute")
     def nextAfter(afterMs: Long): Long = {
       val t = ZonedDateTime.ofInstant(Instant.ofEpochMilli(afterMs), zone)
       val cand = t.withHour(hour).withMinute(minute).withSecond(0).withNano(0)
@@ -51,6 +56,8 @@ object Scheduler {
   final case class Weekly(
       day: DayOfWeek, hour: Int, minute: Int,
       zone: ZoneId = ZoneOffset.UTC) extends Schedule {
+    require(hour >= 0 && hour <= 23, s"hour must be 0..23, got $hour")
+    require(minute >= 0 && minute <= 59, s"minute must be 0..59, got $minute")
     def nextAfter(afterMs: Long): Long = {
       val t = ZonedDateTime.ofInstant(Instant.ofEpochMilli(afterMs), zone)
       val cand = t.`with`(TemporalAdjusters.nextOrSame(day))
@@ -111,7 +118,19 @@ object Scheduler {
             System.err.println(s"[scheduler] job '${j.name}' failed: ${e.getMessage}")
         }
       }
-      if (ran.nonEmpty) persist()
+      // persistence failure must not kill the runner either: the tick
+      // already executed; losing the state write means an idempotent
+      // replay after restart (documented), not a crash. The next
+      // successful tick re-persists the full map.
+      if (ran.nonEmpty) {
+        try persist()
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[scheduler] state persist failed (tick will replay after " +
+                s"a restart): ${e.getMessage}")
+        }
+      }
       ran.toSeq
     }
 
@@ -131,6 +150,7 @@ object Scheduler {
       * lifecycle). Polls until `untilMs`.
       */
     def loop(pollMs: Long, untilMs: Long): Unit = {
+      require(pollMs > 0, s"pollMs must be positive, got $pollMs")
       var now = System.currentTimeMillis()
       while (now < untilMs) {
         runPending(now)

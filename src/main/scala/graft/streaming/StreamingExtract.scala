@@ -33,17 +33,6 @@ object StreamingExtract {
       .as[Turn]
   }
 
-  /** Drain everything currently in `inDir` through the extraction pipeline
-    * into `outDir`; returns after the backlog is processed (the reference's
-    * "process the folder now" batch trigger).
-    *
-    * Delivery: `foreachBatch` is at-least-once (a crash between the batch
-    * write and the checkpoint commit replays the batch on restart), so the
-    * write is made IDEMPOTENT — output is partitioned by `batch_id` with
-    * dynamic partition overwrite, and a replayed batch overwrites its own
-    * partition instead of appending duplicates. At-least-once replay +
-    * idempotent per-batch overwrite = effectively-once output.
-    */
   /** The idempotent per-batch writer `runAvailableNow` uses: a replayed
     * (batchId, batch) overwrites exactly its own `batch_id` partition.
     * Exposed so tests can drive the crash-replay path directly.
@@ -58,6 +47,17 @@ object StreamingExtract {
       .parquet(outDir)
   }
 
+  /** Drain everything currently in `inDir` through the extraction pipeline
+    * into `outDir`; returns after the backlog is processed (the reference's
+    * "process the folder now" batch trigger).
+    *
+    * Delivery: `foreachBatch` is at-least-once (a crash between the batch
+    * write and the checkpoint commit replays the batch on restart), so the
+    * write is made IDEMPOTENT — output is partitioned by `batch_id` with
+    * dynamic partition overwrite, and a replayed batch overwrites its own
+    * partition instead of appending duplicates. At-least-once replay +
+    * idempotent per-batch overwrite = effectively-once output.
+    */
   def runAvailableNow(
       spark: SparkSession, inDir: String, outDir: String, checkpointDir: String): Unit = {
     val q = readTurns(spark, inDir)
@@ -119,6 +119,7 @@ object StreamingExtract {
       .withColumn("fp", graft.operators.TextAnalysis.fingerprint(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
+      .drop("fp") // internal dedup key — output keeps the Turn shape
 
   /** Streaming NEAR-duplicate suppression — the streaming mirror of the
     * batch MinHash+LSH candidate generation
@@ -153,7 +154,8 @@ object StreamingExtract {
     * the drained output instead.
     *
     * Output (append mode, emitted when the watermark passes the window):
-    * (id, window_start, n_fresh_bands) for novel documents only.
+    * (id, window_start, n_fresh_bands) for novel documents only; `id` is
+    * the source id cast to string (total for any id type).
     */
   def nearDupNovel(
       docs: DataFrame, idCol: String, textCol: String, tsCol: String,
@@ -168,11 +170,14 @@ object StreamingExtract {
     val spark = docs.sparkSession
     import spark.implicits._
     import graft.operators.Dedup
+    // id rides as STRING: cast-to-string is total for every input type,
+    // where a long cast would crash ANSI streams on UUID-keyed feeds (or,
+    // ANSI off, null-pool every document into one group)
     val base = docs.select(
-      col(idCol).cast("long").as("id"),
+      col(idCol).cast("string").as("id"),
       col(textCol).as("text"),
       col(tsCol).cast("timestamp").as("ts"))
-      .as[(Long, String, java.sql.Timestamp)]
+      .as[(String, String, java.sql.Timestamp)]
     val banded = base.mapPartitions(_.flatMap { case (id, text, ts) =>
       val sh = Dedup.shingles(Option(text).getOrElse(""), p.shingleSize)
       val sig = Dedup.minHashSignature(sh, p.numHashes)
@@ -193,29 +198,63 @@ object StreamingExtract {
     * (`mapGroupsWithState`) — the streaming counterpart of conversation
     * assembly: as turns arrive, track counts/high-water turn_idx without
     * re-aggregating history.
+    *
+    * State is BOUNDED: a conversation whose newest turn is `idleGapMs`
+    * behind the advancing WATERMARK has its state evicted after one final
+    * snapshot emit — on an unbounded feed of ever-new conv_ids, NoTimeout
+    * state would grow monotonically until the state store OOMs.
+    * EventTimeTimeout (not ProcessingTimeTimeout) on purpose: processing-
+    * time timeouts make the engine schedule no-data micro-batches forever
+    * to evaluate them, so `processAllAvailable` never quiesces and a
+    * drained stream still burns a core; event-time timeouts fire only
+    * when real data advances the watermark. A conversation that resumes
+    * after eviction restarts its counters (documented trade: progress is
+    * a monitoring signal, not the system of record — the durable
+    * per-turn output is).
     */
   final case class ConvProgress(
       conv_id: String, n_turns: Long, max_turn_idx: Int, n_tool_turns: Long)
 
-  def conversationProgress(turns: Dataset[Turn]): Dataset[ConvProgress] = {
+  def conversationProgress(
+      turns: Dataset[Turn],
+      watermark: String = "24 hours",
+      idleGapMs: Long = 30L * 60 * 1000): Dataset[ConvProgress] = {
     val spark = turns.sparkSession
     import spark.implicits._
     turns
+      .withWatermark("ts", watermark)
       .groupByKey(_.conv_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout) {
         (id: String, it: Iterator[Turn], state: GroupState[ConvProgress]) =>
-          val prev = state.getOption.getOrElse(ConvProgress(id, 0L, -1, 0L))
-          var n = prev.n_turns
-          var mx = prev.max_turn_idx
-          var tools = prev.n_tool_turns
-          it.foreach { t =>
-            n += 1
-            if (t.turn_idx > mx) mx = t.turn_idx
-            if (t.role == "tool") tools += 1
+          if (state.hasTimedOut) {
+            // final snapshot, then evict — bounded state on endless feeds
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(ConvProgress(id, 0L, -1, 0L))
+            var n = prev.n_turns
+            var mx = prev.max_turn_idx
+            var tools = prev.n_tool_turns
+            var newestMs = Long.MinValue
+            it.foreach { t =>
+              n += 1
+              if (t.turn_idx > mx) mx = t.turn_idx
+              if (t.role == "tool") tools += 1
+              if (t.ts != null && t.ts.getTime > newestMs) newestMs = t.ts.getTime
+            }
+            val next = ConvProgress(id, n, mx, tools)
+            state.update(next)
+            // evict once the watermark passes newest-turn + idle gap; the
+            // timeout timestamp must sit strictly beyond the current
+            // watermark, so clamp up when this group's data is older
+            val wm = state.getCurrentWatermarkMs()
+            val target = math.max(
+              if (newestMs == Long.MinValue) wm + idleGapMs else newestMs + idleGapMs,
+              wm + 1)
+            state.setTimeoutTimestamp(target)
+            next
           }
-          val next = ConvProgress(id, n, mx, tools)
-          state.update(next)
-          next
       }
   }
 }

@@ -193,14 +193,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     input.addData(Seq((999L, doc(77), new java.sql.Timestamp(t0 + 3 * 3600 * 1000L))))
     q.processAllAvailable()
     q.stop()
+    // ids ride as strings (total cast for any id type — ANSI-safe)
     val ids = spark.sql("SELECT id FROM neardup_stream")
-      .collect().map(_.getLong(0)).toSet
-    assert((0L until 10L).forall(ids.contains),
+      .collect().map(_.getString(0)).toSet
+    assert((0 until 10).map(_.toString).forall(ids.contains),
       s"all ten batch-1 originals must emit as novel, got $ids")
-    assert(ids.contains(101L), "the genuinely new batch-2 document must emit")
-    assert(!ids.contains(100L),
+    assert(ids.contains("101"), "the genuinely new batch-2 document must emit")
+    assert(!ids.contains("100"),
       "the cross-batch NEAR duplicate must be suppressed (shares band buckets with doc 0)")
-    assert(!ids.contains(999L), "heartbeat's window has not closed yet")
+    assert(!ids.contains("999"), "heartbeat's window has not closed yet")
   }
 
   test("session_window sessionization closes sessions in streaming append mode") {
