@@ -62,10 +62,14 @@ object Dedup {
 
   def minHashSignature(sh: Set[Long], numHashes: Int): Array[Long] = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
+    // per-hash seeds depend only on the index — hoist them out of the
+    // per-shingle loop (|shingles| × numHashes redundant mixes otherwise,
+    // on the hottest dedup path)
+    val seeds = Array.tabulate(numHashes)(i => sm64(0x5DEECE66DL + i))
     sh.foreach { h =>
       var i = 0
       while (i < numHashes) {
-        val v = sm64(h ^ sm64(0x5DEECE66DL + i))
+        val v = sm64(h ^ seeds(i))
         if (v < sig(i)) sig(i) = v
         i += 1
       }
@@ -73,7 +77,27 @@ object Dedup {
     sig
   }
 
-  final case class DocSig(id: Long, sig: Array[Long], nShingles: Int)
+  final case class DocSig(id: Long, sig: Array[Long])
+
+  /** The batch dedup operators key on a LONG id (the pair lists, cluster
+    * maps, and oracle rows are long-typed). A non-numeric id column would
+    * cast to null — silently collapsing every document into one null
+    * group (ANSI off) or crashing mid-job (ANSI on) — so reject it
+    * eagerly with advice instead. UUID-keyed corpora: derive a surrogate
+    * (e.g. `xxhash64(id)`) or use the string-keyed streaming operator.
+    */
+  private[operators] def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(idCol).dataType
+    val ok = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    require(ok, s"id column '$idCol' must be integral (got $dt): a long " +
+      "cast would null non-numeric ids and silently corrupt dedup — " +
+      "derive a numeric surrogate (e.g. xxhash64(id)) first")
+  }
 
   /** LSH band keys: FNV-seed fold of each band's signature rows — shared
     * by the batch pair generation and the streaming suppression so both
@@ -99,6 +123,7 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     require(p.numHashes % p.bands == 0, "bands must divide numHashes")
+    requireIntegralId(df, idCol)
 
     val docs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
@@ -119,7 +144,7 @@ object Dedup {
     }).toDF("id", "sh")
 
     val sigs = shingled.as[(Long, Array[Long])].mapPartitions(_.map {
-      case (id, sh) => DocSig(id, minHashSignature(sh.toSet, p.numHashes), sh.length)
+      case (id, sh) => DocSig(id, minHashSignature(sh.toSet, p.numHashes))
     })
 
     // band exploding: (band, bandKey) -> id
@@ -208,6 +233,16 @@ object Dedup {
       maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // RECALL CONTRACT of the fixed 4 × 16-bit chunk banding: candidate
+    // generation is GUARANTEED complete for maxHamming <= 3 (pigeonhole:
+    // <= 3 differing bits leave >= 1 chunk identical). Radii above 3 are
+    // BEST-EFFORT — a pair whose differing bits straddle all four chunks
+    // is never a candidate (full recall would need maxHamming+1 chunks,
+    // whose narrower keys explode bucket sizes); the verify filter keeps
+    // precision exact either way.
+    require(maxHamming >= 0 && maxHamming <= 64,
+      s"maxHamming must be in [0, 64], got $maxHamming")
+    requireIntegralId(df, idCol)
     // sigs has exactly ONE consumer (the band explode carries both id and
     // sig through), so there is nothing to reuse — no persist
     val sigs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
@@ -263,6 +298,7 @@ object Dedup {
       maxDocFreq: Int = 1024): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    requireIntegralId(df, idCol)
     val shingled = df
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
@@ -387,6 +423,16 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // exhausting maxIter WITHOUT the label sum going flat means some
+    // component's min label has not reached every member (propagation
+    // moves it one hop per round, so a chain longer than maxIter hops is
+    // still split) — returning those labels would silently resolve one
+    // duplicate cluster into several keepers. Fail with advice instead.
+    if (!converged)
+      throw new IllegalStateException(
+        s"cluster resolution did not converge within maxIter=$maxIter " +
+          "rounds — the pair graph has a component with a longer diameter " +
+          "(e.g. a chain of successive revisions); raise maxIter")
     // Release the final round's cache too: every round already ran an
     // aggregate action over `labels`, so its upstream join/agg stages are
     // materialized shuffle outputs — the caller's action recomputes only
@@ -421,7 +467,19 @@ object Dedup {
   def embeddingNearDups(
       df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double = 0.95, numPlanes: Int = 16, maxBucket: Int = 512): DataFrame = {
-    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    requireIntegralId(df, idCol)
+    // dimension probe: an empty corpus has no pairs — return the empty
+    // result instead of crashing first() on an empty iterator
+    val dimRow = df.select(size(col(vecCol))).head(1)
+    if (dimRow.isEmpty) {
+      val spark0 = df.sparkSession
+      import org.apache.spark.sql.types._
+      return spark0.createDataFrame(
+        spark0.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType),
+          StructField("cosine", DoubleType))))
+    }
+    val dim = dimRow.head.getInt(0)
     val planes = Similarity.randomPlanes(numPlanes, dim, seed = 42L)
 
     // bucket via the native codegen expression (no row UDF, no broadcast

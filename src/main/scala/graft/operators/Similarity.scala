@@ -350,7 +350,11 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       tables: Int = 8, planesPerTable: Int = 4, seed: Long = 42L,
       dim: Int = -1): DataFrame = {
-    val d = if (dim > 0) dim else df.select(size(col(vecCol))).first().getInt(0)
+    // head(1) not first(): an empty corpus builds an empty index (dim 1
+    // placeholder planes — nothing is hashed) instead of crashing
+    val d =
+      if (dim > 0) dim
+      else df.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(1)
     val allPlanes: Array[Array[Array[Double]]] =
       Array.tabulate(tables)(t => randomPlanes(planesPerTable, d, seed + t * 7919L))
     // one membership struct per table, all buckets computed by the native
@@ -383,7 +387,12 @@ object Similarity {
     * O(index). With `skipExisting` (default) ids already present are
     * anti-joined out, making a replayed append idempotent (the id column
     * is a narrow columnar read of the index; at 100 TB you'd keep a
-    * bloom-filter sidecar instead — same seam). Returns rows appended.
+    * bloom-filter sidecar instead — same seam). The idempotency contract
+    * assumes JOB-atomic commit visibility (Spark's default committer): a
+    * committer that exposes task output mid-job (e.g. v2 on some object
+    * stores) could leave a crashed append's id half-indexed, and the
+    * anti-join would then skip it on replay — run compaction's
+    * dropDuplicates or a rebuild to repair. Returns rows appended.
     */
   def appendToLshIndex(
       newDf: DataFrame, idCol: String, vecCol: String, path: String,
@@ -410,16 +419,6 @@ object Similarity {
     }
   }
 
-  /** Approximate top-k over a materialized index (from [[buildLshIndex]],
-    * typically read back from [[writeLshIndex]]'s layout): the candidate
-    * test is a constant predicate over the PARTITION columns — an
-    * OR-of-(table=t AND bucket=b_t) with one conjunct per table — so a
-    * parquet-backed index scans only the query's ≤ `tables` bucket
-    * directories (partition pruning; plan-guarded in tests), replacing
-    * [[lshTopK]]'s per-query full-scan rehash. Results are IDENTICAL to
-    * `lshTopK` with the same (tables, planesPerTable, seed): same
-    * candidate membership, same scoring expression, same tie-break.
-    */
   final case class CompactionReport(
       partitionsCompacted: Int, filesBefore: Long, filesAfter: Long)
 
@@ -482,11 +481,20 @@ object Similarity {
         .parquet(scratch)
       overgrown.foreach { case (dir, oldFiles) =>
         val rel = Fs.relativize(path, dir)
-        Fs.listFilesRecursive(s"$scratch/$rel")
+        val replacements = Fs.listFilesRecursive(s"$scratch/$rel")
           .filter(f => isData(f.split('/').last))
-          .foreach { nf =>
-            Fs.renameOverwrite(nf, s"$dir/compact-${nf.split('/').last}")
-          }
+        // NEVER delete originals a replacement did not land for: an empty
+        // scratch partition (e.g. a partition value that does not
+        // round-trip read-infer-rewrite, like an externally-written
+        // zero-padded bucket=05) would otherwise silently destroy the
+        // partition's rows behind a green CompactionReport
+        require(replacements.nonEmpty,
+          s"compaction produced no replacement files for partition $rel — " +
+            "aborting before deleting originals (partition values must " +
+            "round-trip Spark's read-infer-rewrite)")
+        replacements.foreach { nf =>
+          Fs.renameOverwrite(nf, s"$dir/compact-${nf.split('/').last}")
+        }
         oldFiles.foreach(Fs.deleteIfExists)
       }
     } finally Fs.deleteTree(scratch)
@@ -507,6 +515,16 @@ object Similarity {
       maxFilesPerPartition: Int = 4): CompactionReport =
     compactIndex(spark, path, Seq("ivf_list"), maxFilesPerPartition)
 
+  /** Approximate top-k over a materialized index (from [[buildLshIndex]],
+    * typically read back from [[writeLshIndex]]'s layout): the candidate
+    * test is a constant predicate over the PARTITION columns — an
+    * OR-of-(table=t AND bucket=b_t) with one conjunct per table — so a
+    * parquet-backed index scans only the query's ≤ `tables` bucket
+    * directories (partition pruning; plan-guarded in tests), replacing
+    * [[lshTopK]]'s per-query full-scan rehash. Results are IDENTICAL to
+    * `lshTopK` with the same (tables, planesPerTable, seed): same
+    * candidate membership, same scoring expression, same tie-break.
+    */
   def lshTopKIndexed(
       index: DataFrame, query: Array[Float], k: Int,
       tables: Int = 8, planesPerTable: Int = 4, seed: Long = 42L): DataFrame = {
