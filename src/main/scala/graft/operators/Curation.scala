@@ -60,6 +60,8 @@ object Curation {
       broadcastTestKeys: Boolean = true): DataFrame = {
     val spark = train.sparkSession
     import spark.implicits._
+    Dedup.requireIntegralId(train, trainId)
+    Dedup.requireIntegralId(test, testId)
     def post(df: DataFrame, id: String, text: String, side: String) = df
       .select(col(id).cast("long").as("id"), col(text).as("text"))
       .as[(Long, String)]
@@ -114,6 +116,11 @@ object Curation {
   def stratifiedSample(
       df: DataFrame, strataCol: Column, keyCol: Column,
       rates: Map[String, Int], defaultPermille: Int = 1000): DataFrame = {
+    // same validation deterministicSample enforces: an out-of-range rate
+    // (e.g. 1500 intending oversampling) would otherwise silently clamp
+    // to keep-everything and ship a mis-specified mix unnoticed
+    (rates.values.toSeq :+ defaultPermille).foreach(p =>
+      require(p >= 0 && p <= 1000, s"permille rates must be in [0, 1000], got $p"))
     val rate = rates.foldLeft(lit(defaultPermille)) { case (acc, (stratum, p)) =>
       when(strataCol === stratum, lit(p)).otherwise(acc)
     }

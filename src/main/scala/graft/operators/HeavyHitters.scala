@@ -33,8 +33,14 @@ object HeavyHitters extends Serializable {
   final case class HeavyHitter(item: String, count: Long, error: Long)
 
   private final class Buffer(val capacity: Int) {
+    require(capacity > 0, s"sketch capacity must be positive, got $capacity")
     val map: mutable.LinkedHashMap[String, (Long, Long)] = mutable.LinkedHashMap.empty
 
+    // NOTE eviction cost: the min-count scan below is O(capacity) per
+    // evicting row — fine at the capacities this engine uses (<= a few
+    // hundred); a 4096+-capacity deployment over a Zipfian stream should
+    // upgrade to a count-indexed structure (Stream-Summary / TreeMap) for
+    // O(log k) eviction. Same mergeable-summaries bounds either way.
     def add(item: String, weight: Long = 1L): Unit = {
       map.get(item) match {
         case Some((c, e)) => map.update(item, (c + weight, e))

@@ -14,8 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** whitespace tokens of lowercased text (empty text → single "" token
-    * dropped by the trim)
+  /** whitespace tokens of lowercased text. NOTE the exact edge semantics
+    * (mirrored verbatim by every DuckDB oracle): trim strips only ASCII
+    * spaces and split keeps edge empties, so text bounded by non-space
+    * whitespace (e.g. a trailing newline) carries one "" edge token and
+    * empty text is a single "" token. Consumers that must not count
+    * phantom tokens filter `tok != ''` (x14 does); either way counts stay
+    * engine-parity because both engines implement the same rule.
     */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
@@ -127,7 +132,13 @@ object TextAnalysis {
     val speedScore = greatest(lit(0.0), lit(1.0) - processingTimeSec / 30.0)
     val contentScore = least(lit(1.0), (wordCount + charCount / 10.0) / 100.0)
     val total = confidence * 0.4 + speedScore * 0.2 + successRate * 0.3 + contentScore * 0.1
-    greatest(lit(0.0), least(lit(1.0), total))
+    // null inputs must NOT become a perfect score: Spark's least/greatest
+    // SKIP nulls, so least(1.0, null_total) = 1.0 and the clamp would
+    // hand a failed engine (null confidence) the maximum quality. Score
+    // 0.0 instead — a row with missing signals never wins a ranking.
+    when(confidence.isNull || processingTimeSec.isNull || successRate.isNull ||
+      wordCount.isNull || charCount.isNull, lit(0.0))
+      .otherwise(greatest(lit(0.0), least(lit(1.0), total)))
   }
 
   /** Heuristic confidence fallback (SURVEY.md F16; REAL.py:974-998): the
@@ -210,11 +221,17 @@ object TextAnalysis {
     * the reference's index key (search_manager.py:147-149 md5; cache key
     * sha-256 cache_manager.py:119-170).
     */
+  /** Normalized content fingerprint: lowercase, collapse ALL whitespace
+    * runs to single spaces, THEN trim — collapse-first so edge newlines/
+    * tabs become the spaces trim can strip (trim alone handles only
+    * ASCII spaces in both engines); whitespace-equivalent texts therefore
+    * share a fingerprint. SQL mirror below stays in lockstep.
+    */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
   def fingerprintSql(t: String): String =
-    s"md5(regexp_replace(trim(lower($t)), '\\s+', ' ', 'g'))"
+    s"md5(trim(regexp_replace(lower($t), '\\s+', ' ', 'g')))"
 
   // ---- repetition signals (Gopher-style curation filters, Rae et al.
   // 2021 §A1.1: documents dominated by repeated lines/paragraphs are
@@ -362,6 +379,7 @@ object TextAnalysis {
       : org.apache.spark.sql.Dataset[NgramRepetition] = {
     val spark = df.sparkSession
     import spark.implicits._
+    Dedup.requireIntegralId(df, idCol)
     df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) =>
