@@ -67,6 +67,13 @@ object Fallback {
       .withColumn("route", when(kept, lit("kept")).otherwise(lit("fallback")))
   }
 
+  /** DETERMINISM REQUIREMENT: the kept and fallback branches are two
+    * independent scans that each re-evaluate `first` and the routing
+    * predicate — with a non-deterministic engine/quality expression (or a
+    * source mutating between scans) a row near the threshold can land in
+    * BOTH branches or in neither. Use [[twoPassCached]] (materialized
+    * first pass) for non-deterministic engines or unstable sources.
+    */
   def twoPass(
       df: DataFrame, textCol: String,
       first: Engine, second: Engine,
@@ -159,11 +166,14 @@ object Fallback {
         t.as("text"))
     }
     val best = if (entries.sizeIs == 1) entries.head else greatest(entries: _*)
+    // withColumn (not select(col("*"), ...)): REPLACES pre-existing
+    // result_text/quality/engine columns like onePass/twoPass do — the
+    // select form appended duplicates and made every downstream
+    // col("quality") an AMBIGUOUS_REFERENCE when chained after them
     df.withColumn("__best", best)
-      .select(col("*"),
-        col("__best.text").as("result_text"),
-        col("__best.q").as("quality"),
-        col("__best.engine").as("engine"))
+      .withColumn("result_text", col("__best.text"))
+      .withColumn("quality", col("__best.q"))
+      .withColumn("engine", col("__best.engine"))
       .drop("__best")
   }
 

@@ -47,8 +47,18 @@ object Rules {
     val f = str(raw.cast("string"))
     val v = str(litOf(c.value).cast("string"))
     val base: Column = c.op match {
-      case Op.Equals       => f === v
-      case Op.NotEquals    => f =!= v
+      // numeric values compare NUMERICALLY (the reference's Python ==:
+      // 1 == 1.0 is True); the string-cast form would render them
+      // differently ("1" vs "1.0") and silently never match. Strings keep
+      // the documented case handling.
+      case Op.Equals => c.value match {
+        case _: String => f === v
+        case _ => raw === litOf(c.value)
+      }
+      case Op.NotEquals => c.value match {
+        case _: String => f =!= v
+        case _ => raw =!= litOf(c.value)
+      }
       case Op.GreaterThan  => raw > litOf(c.value)
       case Op.LessThan     => raw < litOf(c.value)
       case Op.GreaterEqual => raw >= litOf(c.value)
@@ -57,7 +67,13 @@ object Rules {
       case Op.NotContains  => !f.contains(v)
       case Op.StartsWith   => f.startsWith(v)
       case Op.EndsWith     => f.endsWith(v)
-      case Op.RegexMatch   => f.rlike(c.value.toString)
+      // rules.py:101-104 lowercases BOTH sides when case-insensitive —
+      // lowercasing only the subject would make any pattern containing an
+      // uppercase letter match nothing; null pattern matches nothing
+      case Op.RegexMatch =>
+        if (c.value == null) lit(false)
+        else f.rlike(
+          if (c.caseSensitive) c.value.toString else c.value.toString.toLowerCase)
       case Op.InList =>
         val vs = c.value.asInstanceOf[Seq[Any]].map(x => if (c.caseSensitive) x.toString else x.toString.toLowerCase)
         f.isin(vs: _*)
@@ -77,8 +93,14 @@ object Rules {
     */
   final case class Rule(name: String, priority: Int, conditions: Seq[Condition])
 
-  def ruleMatches(r: Rule): Column =
-    r.conditions.map(compile).reduceOption(_ && _).getOrElse(lit(true))
+  /** Conjunction of conditions (empty = always true) — the one shared
+    * definition of "this rule matches", used by both the tagging ladder
+    * and the action engine so their semantics can never drift.
+    */
+  def conditionsMatch(cs: Seq[Condition]): Column =
+    cs.map(compile).reduceOption(_ && _).getOrElse(lit(true))
+
+  def ruleMatches(r: Rule): Column = conditionsMatch(r.conditions)
 
   /** Apply a rule set as a priority-ordered when-ladder producing the name
     * of the first (highest-priority) matching rule, else `default`.
@@ -172,7 +194,13 @@ object Rules {
       case k :: more =>
         st.find(_.name == k).map(_.dataType) match {
           case Some(child: StructType) =>
-            upd(c.getField(k), child, more).map(c.withField(k, _))
+            // a per-row NULL inner struct would swallow the write exactly
+            // like the top level (null.withField = null) — coalesce every
+            // descended level to its typed all-null struct
+            val childNull = struct(
+              child.fields.toSeq.map(f0 => lit(null).cast(f0.dataType).as(f0.name)): _*)
+            upd(coalesce(c.getField(k), childNull), child, more)
+              .map(c.withField(k, _))
           case Some(_) => None // existing non-struct level: TypeError analog
           case None    =>
             // missing key: created level — the field did not exist, so null
@@ -227,14 +255,22 @@ object Rules {
       appliedCol match {
         case Some(c) if !d.columns.contains(c) =>
           d.withColumn(c, array().cast("array<string>"))
+        case Some(c) =>
+          // a pre-existing audit column with NULLs (outer join, user data)
+          // would swallow every append (array_append(null, x) = null)
+          d.withColumn(c, coalesce(col(c), array().cast("array<string>")))
         case _ => d
       }
     }
     val applied = rules.sortBy(r => (-r.priority, r.name)).foldLeft(seeded) { (d, r) =>
       // pin the evaluation: conditions are checked ONCE per rule, before
       // any of the rule's own actions mutate the columns they read
-      val cond = r.conditions.map(compile).reduceOption(_ && _).getOrElse(lit(true))
-      val d1 = d.withColumn(matchedTmp, !col("stop_processing") && cond)
+      val cond = conditionsMatch(r.conditions)
+      // coalesce: a pre-existing stop_processing with NULLs (withContext
+      // seeds only when absent) must read as "not stopped", matching the
+      // reference context's always-initialized False
+      val d1 = d.withColumn(matchedTmp,
+        !coalesce(col("stop_processing"), lit(false)) && cond)
       val m = col(matchedTmp)
       val d2 = r.actions.foldLeft(d1) { (dd, a) =>
         a match {
@@ -246,6 +282,12 @@ object Rules {
             dd.withColumn("stop_processing", col("stop_processing") || m)
           case AddPreprocessing(steps, path) =>
             // templates.py:318: steps = config.get(path, []); steps.extend(...)
+            // FLAT column only: a dotted path would create a literal
+            // dotted top-level column the read-back then mis-resolves as
+            // nested access — reject eagerly (nested writes are SetValue's
+            // dot-path semantics, list-append has no nested analog here)
+            require(!path.contains('.'),
+              s"AddPreprocessing fieldPath must be a flat column name, got '$path'")
             val existing =
               if (dd.columns.contains(path)) col(path)
               else array().cast("array<string>")

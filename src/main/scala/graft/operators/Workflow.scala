@@ -109,8 +109,16 @@ object Workflow {
         // unique pin per Conditional INSTANCE: a nested conditional that
         // reuses an outer conditional's name must not clobber (or drop)
         // the outer pin mid-branch
-        val pin = s"__wf_cond_${name}_${pinSeq.getAndIncrement()}"
-        val pinned = df.withColumn(pin, coalesce(condition, lit(false)))
+        // sanitized pin name: a step name containing '.' (or backticks)
+        // would make col(pin) mis-resolve as nested field access
+        val pin = s"__wf_cond_${name.replaceAll("[^A-Za-z0-9_]", "_")}_" +
+          pinSeq.getAndIncrement()
+        // evaluate the predicate ONLY under the current mask: rows a
+        // parent branch excluded may be exactly the rows where the
+        // expression errors (ANSI division by zero, malformed casts) —
+        // the reference evaluates conditions only for documents that
+        // reach the step
+        val pinned = df.withColumn(pin, coalesce(when(m, condition), lit(false)))
         val afterTrue = ifTrue.foldLeft(pinned)(
           (d, s) => applyStep(d, s, m && col(pin), auditCol, pinSeq))
         val afterFalse = ifFalse.foldLeft(afterTrue)(
