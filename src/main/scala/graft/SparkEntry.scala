@@ -711,7 +711,10 @@ object SparkEntry {
       Similarity.ivfTopKIndexed(idx, cents, q, 10, nProbe = 8)
     }),
     // chunking w/ overlap (F14) — reference word-packing semantics;
-    // mapPartitions (the codebase's pooled-kernel pattern), not a row UDF
+    // mapPartitions (the codebase's pooled-kernel pattern), not a row UDF.
+    // ORACLE-CHECKED: a DuckDB recursive CTE replays the greedy recursion
+    // over word-length prefix sums (see oracleSql) — boundaries, overlap
+    // carry, and chunk text all verified hash-exact
     "x09_chunks" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
@@ -799,6 +802,9 @@ object SparkEntry {
         sum(when(col("doc_id") >= 1000000, 1).otherwise(0)).cast("long").as("mutant_ids_kept"))
     }),
     // top word-n-gram repetition rule (kernel tier: per-row frequency map)
+    // ORACLE-CHECKED: DuckDB recomputes the top-n-gram fractions from
+    // first principles (windowed GROUP BY + QUALIFY tie rule, identical
+    // integer-ratio arithmetic; see oracleSql)
     "x19_ngram_repetition" -> ((s, dir) => {
       TextAnalysis.ngramRepetition(t(s, dir, "documents"), "doc_id", "text")
         .toDF()
@@ -1166,6 +1172,149 @@ object SparkEntry {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |       md5(string_agg(event_type, '|' ORDER BY ts, event_id)) AS chain_md5
         |FROM events GROUP BY user_id""".stripMargin,
+
+    // Gopher top-n-gram repetition (x19): the packed-key kernel's
+    // fractions are pure integer ratios — most-frequent consecutive
+    // n-gram (ties to the lexicographically smallest joined string,
+    // matching the kernel's `s < bestStr`), chars = count × gram length,
+    // total = Σ token lengths + (n_tokens − 1) — so DuckDB recomputes
+    // them exactly from first principles: unnest the n-gram windows per
+    // (doc, n), GROUP BY count, QUALIFY row_number for the max/tie rule,
+    // identical IEEE division. Pre-flighted by
+    // tools/validate_ngram_oracle.py against a Python replica of
+    // topNgramCharFractions234 at sf0.001/0.01/0.1 (exact match) and
+    // against the Spark parquet output at sf0.01.
+    "x19_ngram_repetition" ->
+      """WITH base AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id,
+        |         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+        |                     w -> w <> '') AS ws
+        |  FROM documents
+        |),
+        |sized AS (
+        |  SELECT id, ws, len(ws) AS nt,
+        |         list_sum(list_transform(ws, w -> length(w))) + (len(ws) - 1) AS total
+        |  FROM base
+        |),
+        |grams AS (
+        |  SELECT s.id, n.n, s.total,
+        |         unnest(list_transform(range(1, s.nt - n.n + 2),
+        |                j -> array_to_string(s.ws[j:j + n.n - 1], ' '))) AS gram
+        |  FROM sized s, (VALUES (2), (3), (4)) n(n)
+        |  WHERE s.nt >= 2 AND s.nt >= n.n
+        |),
+        |counts AS (
+        |  SELECT id, n, total, gram, count(*) AS c
+        |  FROM grams GROUP BY id, n, total, gram
+        |),
+        |best AS (
+        |  SELECT id, n,
+        |         CASE WHEN c <= 1 THEN 0.0
+        |              ELSE CAST(c * length(gram) AS DOUBLE) / CAST(total AS DOUBLE)
+        |         END AS f
+        |  FROM counts
+        |  QUALIFY row_number() OVER (PARTITION BY id, n ORDER BY c DESC, gram) = 1
+        |),
+        |per AS (
+        |  SELECT b.id,
+        |         coalesce(max(CASE WHEN t.n = 2 THEN t.f END), 0.0) AS top2,
+        |         coalesce(max(CASE WHEN t.n = 3 THEN t.f END), 0.0) AS top3,
+        |         coalesce(max(CASE WHEN t.n = 4 THEN t.f END), 0.0) AS top4
+        |  FROM base b LEFT JOIN best t ON t.id = b.id
+        |  GROUP BY b.id
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN top2 <= 0.20 AND top3 <= 0.18 AND top4 <= 0.16
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       round(max(top2), 4) AS max_top2,
+        |       round(max(top4), 4) AS max_top4
+        |FROM per""".stripMargin,
+
+    // greedy word-packing chunker (F14, x09): chunk boundaries are a
+    // deterministic function of word-length prefix sums, so a recursive
+    // CTE replays the exact reference recursion (semantic_search.py:
+    // 137-170) — state (i, chunk_start, current_len) advances one word
+    // per iteration (documents cap at 99 words), a boundary emits the
+    // [cs, i) range and restarts from the 50-word overlap tail, and the
+    // final chunk flushes at i = n. Chunk text is rebuilt by string_agg
+    // over the emitted ranges. Pre-flighted by
+    // tools/validate_chunk_oracle.py against a Python replica of the
+    // kernel at sf0.001/0.01/0.1 (539/529/5322 chunks, exact match).
+    // The '\s+' split mirrors Py.splitWs because the corpus is ASCII
+    // with no VT/FS..US whitespace (asserted by the validator's charset
+    // check at all three SFs).
+    "x09_chunks" ->
+      """WITH RECURSIVE
+        |doc AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+        |                     w -> w <> '') AS ws
+        |  FROM documents
+        |  WHERE length(trim(coalesce(text, ''),
+        |        ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) >= 10
+        |),
+        |w AS (
+        |  SELECT doc_id, word, idx, CAST(length(word) AS BIGINT) AS len
+        |  FROM (
+        |    SELECT doc_id, unnest(ws) AS word,
+        |           CAST(unnest(range(len(ws))) AS BIGINT) AS idx
+        |    FROM doc
+        |  )
+        |),
+        |cum AS (
+        |  SELECT doc_id, idx, len,
+        |         coalesce(sum(len) OVER (PARTITION BY doc_id ORDER BY idx
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS plen
+        |  FROM w
+        |),
+        |nw AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+        |st AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS cs,
+        |         CAST(0 AS BIGINT) AS cur_len,
+        |         CAST(NULL AS BIGINT) AS e_start, CAST(NULL AS BIGINT) AS e_end
+        |  FROM doc
+        |  UNION ALL
+        |  SELECT st.doc_id,
+        |         st.i + 1,
+        |         CASE WHEN c.len + st.cur_len + 1 > 512 AND st.i > st.cs
+        |                THEN greatest(st.cs, st.i - 50)
+        |              ELSE st.cs END,
+        |         CASE WHEN c.len + st.cur_len + 1 > 512 AND st.i > st.cs
+        |                THEN (c.plen - o.plen) + c.len
+        |                     + (st.i - greatest(st.cs, st.i - 50)) + 1
+        |              WHEN c.len + st.cur_len + 1 > 512
+        |                THEN c.len
+        |              ELSE st.cur_len + c.len + 1 END,
+        |         CASE WHEN c.len + st.cur_len + 1 > 512 AND st.i > st.cs
+        |                THEN st.cs ELSE NULL END,
+        |         CASE WHEN c.len + st.cur_len + 1 > 512 AND st.i > st.cs
+        |                THEN st.i ELSE NULL END
+        |  FROM st
+        |  JOIN cum c ON c.doc_id = st.doc_id AND c.idx = st.i
+        |  JOIN cum o ON o.doc_id = st.doc_id
+        |            AND o.idx = greatest(st.cs, st.i - 50)
+        |),
+        |bounds AS (
+        |  SELECT doc_id, e_start AS s, e_end AS e, e_end AS ord
+        |  FROM st WHERE e_start IS NOT NULL
+        |  UNION ALL
+        |  SELECT st.doc_id, st.cs, nw.n, nw.n + 1
+        |  FROM st JOIN nw ON nw.doc_id = st.doc_id
+        |  WHERE st.i = nw.n AND nw.n > st.cs
+        |),
+        |chunks AS (
+        |  SELECT b.doc_id, b.ord,
+        |         string_agg(w.word, ' ' ORDER BY w.idx) AS chunk
+        |  FROM bounds b
+        |  JOIN w ON w.doc_id = b.doc_id AND w.idx >= b.s AND w.idx < b.e
+        |  GROUP BY b.doc_id, b.ord
+        |)
+        |SELECT doc_id,
+        |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1
+        |            AS INT) AS chunk_idx,
+        |       CAST(length(chunk) AS INT) AS n_chars,
+        |       md5(chunk) AS chunk_md5
+        |FROM chunks""".stripMargin,
 
     // cluster resolution: brute-force exact-Jaccard pairs at the query's
     // 0.7 threshold over the SAME 1500-doc universe, then a recursive

@@ -151,7 +151,12 @@ object Multimodal {
     import spark.implicits._
     require(factor >= 1)
     media.mapPartitions(_.map { r =>
-      val out = Array.tabulate(math.max(1, r.payload.length / factor))(i => r.payload(i * factor))
+      // null/empty payloads pass through as empty (the decoders' convention);
+      // the old tabulate(max(1, 0/factor)) indexed payload(0) on empty input
+      val src = if (r.payload == null) Array.emptyByteArray else r.payload
+      val out =
+        if (src.isEmpty) src
+        else Array.tabulate(math.max(1, src.length / factor))(i => src(i * factor))
       r.copy(payload = out,
         meta = r.meta.copy(
           width = math.max(1, r.meta.width / factor),

@@ -70,6 +70,7 @@ object Redact {
 
   /** Distributed form: pooled kernel per partition (narrow map). */
   def redact(df: DataFrame, idCol: String, textCol: String): Dataset[Redacted] = {
+    Dedup.requireIntegralId(df, idCol) // same silent-null-cast trap as dedup
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol))

@@ -18,20 +18,29 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
+  private def requireTerm(term: String): Unit =
+    require(term != null && term.nonEmpty,
+      "search term must be non-empty: the occurrence count divides by " +
+        "its length (an empty term would fail at runtime under ANSI mode, " +
+        "mid-job, on the executors)")
+
   /** occurrence count via length-difference — exact and engine-agnostic */
   def occurrences(text: Column, term: String): Column = {
+    requireTerm(term)
     val t = term.toLowerCase
     ((length(lower(text)) - length(replace(lower(text), lit(t), lit("")))) /
       lit(t.length)).cast("int")
   }
 
   def occurrencesSql(textExpr: String, term: String): String = {
+    requireTerm(term)
     val t = term.toLowerCase.replace("'", "''")
     s"CAST((length(lower($textExpr)) - length(replace(lower($textExpr), '$t', ''))) / ${t.length} AS INT)"
   }
 
   /** ±ctx chars around the first match, ellipsed at clipped edges. */
   def excerpt(text: Column, term: String, ctx: Int = 50): Column = {
+    requireTerm(term)
     val t = term.toLowerCase
     val pos = instr(lower(text), t) // 1-based; 0 if absent
     val start = greatest(pos - ctx, lit(1))
@@ -45,6 +54,7 @@ object Search {
   }
 
   def excerptSql(textExpr: String, term: String, ctx: Int = 50): String = {
+    requireTerm(term)
     val t = term.toLowerCase.replace("'", "''")
     val pos = s"strpos(lower($textExpr), '$t')"
     val start = s"greatest($pos - $ctx, 1)"

@@ -53,6 +53,7 @@ object SemanticSearch {
     */
   def chunkEmbeddings(
       df: DataFrame, idCol: String, textCol: String, dim: Int = 64): DataFrame = {
+    Dedup.requireIntegralId(df, idCol) // same silent-null-cast trap as dedup
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol))

@@ -247,4 +247,40 @@ class Operators5Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.forall(_._3 == 0L), "exact regime must report zero error")
     assert(got.map(t => t._1 -> t._2).toMap == want)
   }
+
+  test("search: empty term is rejected eagerly, not as an executor-side divide-by-zero") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((1L, "some text")).toDF("id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      Search.search(df, "id", "text", "", 5)
+    }
+    assert(e1.getMessage.contains("non-empty"))
+    intercept[IllegalArgumentException] {
+      Search.searchDedup(df, "id", "id", "text", "", 5)
+    }
+    intercept[IllegalArgumentException](Search.occurrencesSql("text", ""))
+    intercept[IllegalArgumentException](Search.excerptSql("text", ""))
+  }
+
+  test("resize: null and empty payloads pass through as empty instead of crashing the task") {
+    val sp = spark; import sp.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, null, Multimodal.MediaMeta(8, 8, 0L, "x")),
+      Multimodal.MediaRow(2L, Array.emptyByteArray, Multimodal.MediaMeta(8, 8, 0L, "x")),
+      Multimodal.MediaRow(3L, Array[Byte](1, 2, 3, 4, 5, 6), Multimodal.MediaMeta(8, 8, 6L, "x")))
+    val out = Multimodal.resize(sp.createDataset(rows), 2)
+      .collect().sortBy(_.id)
+    assert(out(0).payload.isEmpty && out(0).meta.n_bytes == 0L)
+    assert(out(1).payload.isEmpty && out(1).meta.n_bytes == 0L)
+    assert(out(2).payload.toSeq == Seq[Byte](1, 3, 5) && out(2).meta.n_bytes == 3L)
+  }
+
+  test("redact/chunkEmbeddings: non-integral id columns are rejected eagerly (the dedup null-cast trap)") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(("uuid-a", "text with foo@bar.com")).toDF("id", "text")
+    val e = intercept[IllegalArgumentException](Redact.redact(df, "id", "text"))
+    assert(e.getMessage.contains("integral"))
+    intercept[IllegalArgumentException](
+      SemanticSearch.chunkEmbeddings(df, "id", "text"))
+  }
 }
