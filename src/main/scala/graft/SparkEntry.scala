@@ -438,17 +438,17 @@ object SparkEntry {
     }),
 
     // ---- oracle-checkable curation lineage (x22's three-check mirror):
-    // the REAL CurationJob with its two non-SQL-expressible knobs
-    // neutralized — the top-n-gram repetition gate (kernel tier;
-    // thresholds at MaxValue pass everything — overlapping sliding
-    // windows mean the fractions CAN exceed 1.0 on repetition-dominated
-    // text, so 1.0 would be a real filter the SQL mirror omits) and the
-    // MinHash near-dup stage (threshold > 1 admits no candidate pair) —
-    // so every surviving stage (C4 clean → dup-line/para gates → exact
-    // fingerprint dedup → hash split) has an exact DuckDB mirror. x22
-    // keeps the full production config; this pins the chain's plumbing
-    // (stage composition, manifest lineage, split assignment) to an
-    // independent engine.
+    // the REAL CurationJob at the PRODUCTION gate config — C4 clean,
+    // dup-line/para gates AND the top-n-gram repetition gate at its real
+    // 0.20/0.18/0.16 thresholds (mirrored via the shared
+    // TextAnalysis.topNgramFractionsSqlCtes CTE chain, same one the x19
+    // oracle uses) — with ONE knob neutralized: the MinHash near-dup
+    // stage (threshold > 1 admits no candidate pair; banding is seeded-
+    // hash kernel tier, not SQL-expressible). Every surviving stage
+    // (C4 clean → full Gopher gates → exact fingerprint dedup → hash
+    // split) has an exact DuckDB mirror. x22 keeps the full production
+    // config; this pins the chain's plumbing (stage composition,
+    // manifest lineage, split assignment) to an independent engine.
     "q33_curation_lineage" -> ((s, dir) => {
       import s.implicits._
       val out = java.nio.file.Files.createTempDirectory("graft-q33").toString
@@ -458,8 +458,6 @@ object SparkEntry {
       // 80/10/10 split (vs the 98/1/1 production default) so all three
       // split partitions are non-empty at oracle SF — a stronger check
       val cfg = graft.pipeline.CurationJob.Config(
-        maxTop2 = Double.MaxValue, maxTop3 = Double.MaxValue,
-        maxTop4 = Double.MaxValue,
         minhash = Dedup.MinHashParams(threshold = 1.1),
         splits = Seq(("train", 80), ("val", 10), ("test", 10)))
       val lineage = graft.pipeline.CurationJob
@@ -1178,57 +1176,22 @@ object SparkEntry {
     // n-gram (ties to the lexicographically smallest joined string,
     // matching the kernel's `s < bestStr`), chars = count × gram length,
     // total = Σ token lengths + (n_tokens − 1) — so DuckDB recomputes
-    // them exactly from first principles: unnest the n-gram windows per
-    // (doc, n), GROUP BY count, QUALIFY row_number for the max/tie rule,
-    // identical IEEE division. Pre-flighted by
+    // them exactly from first principles via the shared
+    // TextAnalysis.topNgramFractionsSqlCtes CTE chain (windowed GROUP BY
+    // + QUALIFY tie rule, identical IEEE division; q33's gates mirror
+    // uses the same generator). Pre-flighted by
     // tools/validate_ngram_oracle.py against a Python replica of
     // topNgramCharFractions234 at sf0.001/0.01/0.1 (exact match) and
     // against the Spark parquet output at sf0.01.
     "x19_ngram_repetition" ->
-      """WITH base AS (
-        |  SELECT CAST(doc_id AS BIGINT) AS id,
-        |         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
-        |                     w -> w <> '') AS ws
-        |  FROM documents
-        |),
-        |sized AS (
-        |  SELECT id, ws, len(ws) AS nt,
-        |         list_sum(list_transform(ws, w -> length(w))) + (len(ws) - 1) AS total
-        |  FROM base
-        |),
-        |grams AS (
-        |  SELECT s.id, n.n, s.total,
-        |         unnest(list_transform(range(1, s.nt - n.n + 2),
-        |                j -> array_to_string(s.ws[j:j + n.n - 1], ' '))) AS gram
-        |  FROM sized s, (VALUES (2), (3), (4)) n(n)
-        |  WHERE s.nt >= 2 AND s.nt >= n.n
-        |),
-        |counts AS (
-        |  SELECT id, n, total, gram, count(*) AS c
-        |  FROM grams GROUP BY id, n, total, gram
-        |),
-        |best AS (
-        |  SELECT id, n,
-        |         CASE WHEN c <= 1 THEN 0.0
-        |              ELSE CAST(c * length(gram) AS DOUBLE) / CAST(total AS DOUBLE)
-        |         END AS f
-        |  FROM counts
-        |  QUALIFY row_number() OVER (PARTITION BY id, n ORDER BY c DESC, gram) = 1
-        |),
-        |per AS (
-        |  SELECT b.id,
-        |         coalesce(max(CASE WHEN t.n = 2 THEN t.f END), 0.0) AS top2,
-        |         coalesce(max(CASE WHEN t.n = 3 THEN t.f END), 0.0) AS top3,
-        |         coalesce(max(CASE WHEN t.n = 4 THEN t.f END), 0.0) AS top4
-        |  FROM base b LEFT JOIN best t ON t.id = b.id
-        |  GROUP BY b.id
-        |)
-        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |       CAST(sum(CASE WHEN top2 <= 0.20 AND top3 <= 0.18 AND top4 <= 0.16
-        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |       round(max(top2), 4) AS max_top2,
-        |       round(max(top4), 4) AS max_top4
-        |FROM per""".stripMargin,
+      s"""WITH ${TextAnalysis.topNgramFractionsSqlCtes(
+             "documents", "CAST(doc_id AS BIGINT)", "text", "ng")}
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN top2 <= 0.20 AND top3 <= 0.18 AND top4 <= 0.16
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       round(max(top2), 4) AS max_top2,
+         |       round(max(top4), 4) AS max_top4
+         |FROM ng""".stripMargin,
 
     // greedy word-packing chunker (F14, x09): chunk boundaries are a
     // deterministic function of word-length prefix sums, so a recursive
@@ -1417,10 +1380,12 @@ object SparkEntry {
          |  SELECT doc_id, $cleanT AS t FROM structured),
          |clean_kept AS (
          |  SELECT doc_id, t FROM cleaned WHERE ${C4.keepDocumentSql("t", 5)}),
+         |${TextAnalysis.topNgramFractionsSqlCtes("clean_kept", "doc_id", "t", "ng")},
          |gates AS (
-         |  SELECT doc_id, t FROM clean_kept
-         |  WHERE ${TextAnalysis.dupLineFractionSql("t")} <= 0.30
-         |    AND ${TextAnalysis.dupParagraphFractionSql("t")} <= 0.30),
+         |  SELECT c.doc_id, c.t FROM clean_kept c JOIN ng ON ng.id = c.doc_id
+         |  WHERE ${TextAnalysis.dupLineFractionSql("c.t")} <= 0.30
+         |    AND ${TextAnalysis.dupParagraphFractionSql("c.t")} <= 0.30
+         |    AND ng.top2 <= 0.20 AND ng.top3 <= 0.18 AND ng.top4 <= 0.16),
          |exact AS (
          |  SELECT min(doc_id) AS doc_id FROM gates
          |  GROUP BY ${TextAnalysis.fingerprintSql("t")}),

@@ -387,4 +387,59 @@ object TextAnalysis {
         NgramRepetition(id, f2, f3, f4, f2 <= max2 && f3 <= max3 && f4 <= max4)
       })
   }
+
+  /** DuckDB mirror of [[topNgramCharFractions234]] as a CTE chain: emits
+    * `<prefix>_base … <prefix>` where the final `<prefix>` relation is
+    * (id, top2, top3, top4) — one row per row of `src`. The fractions are
+    * pure integer ratios (most-frequent consecutive n-gram, ties to the
+    * lexicographically smallest joined string, chars = count × gram
+    * length, total = Σ token lengths + n_tokens − 1), so the SQL computes
+    * them exactly: same operands, same IEEE division. Tokenization is
+    * lower + '\s+' split (mirrors Py.splitWs on corpora with no VT/FS..US
+    * whitespace — asserted for the testdata by
+    * tools/validate_ngram_oracle.py). Callers splice the returned text
+    * inside a WITH list; `src` must be a relation/CTE with columns
+    * addressable by `idExpr`/`textExpr`. Shared by the x19 oracle and the
+    * q33 curation-lineage gates mirror, so the two cannot drift.
+    */
+  def topNgramFractionsSqlCtes(
+      src: String, idExpr: String, textExpr: String, prefix: String): String =
+    s"""${prefix}_base AS (
+       |  SELECT $idExpr AS id,
+       |         list_filter(regexp_split_to_array(lower(coalesce($textExpr, '')), '\\s+'),
+       |                     w -> w <> '') AS ws
+       |  FROM $src
+       |),
+       |${prefix}_sized AS (
+       |  SELECT id, ws, len(ws) AS nt,
+       |         list_sum(list_transform(ws, w -> length(w))) + (len(ws) - 1) AS total
+       |  FROM ${prefix}_base
+       |),
+       |${prefix}_grams AS (
+       |  SELECT s.id, n.n, s.total,
+       |         unnest(list_transform(range(1, s.nt - n.n + 2),
+       |                j -> array_to_string(s.ws[j:j + n.n - 1], ' '))) AS gram
+       |  FROM ${prefix}_sized s, (VALUES (2), (3), (4)) n(n)
+       |  WHERE s.nt >= 2 AND s.nt >= n.n
+       |),
+       |${prefix}_counts AS (
+       |  SELECT id, n, total, gram, count(*) AS c
+       |  FROM ${prefix}_grams GROUP BY id, n, total, gram
+       |),
+       |${prefix}_best AS (
+       |  SELECT id, n,
+       |         CASE WHEN c <= 1 THEN 0.0
+       |              ELSE CAST(c * length(gram) AS DOUBLE) / CAST(total AS DOUBLE)
+       |         END AS f
+       |  FROM ${prefix}_counts
+       |  QUALIFY row_number() OVER (PARTITION BY id, n ORDER BY c DESC, gram) = 1
+       |),
+       |$prefix AS (
+       |  SELECT b.id,
+       |         coalesce(max(CASE WHEN t.n = 2 THEN t.f END), 0.0) AS top2,
+       |         coalesce(max(CASE WHEN t.n = 3 THEN t.f END), 0.0) AS top3,
+       |         coalesce(max(CASE WHEN t.n = 4 THEN t.f END), 0.0) AS top4
+       |  FROM ${prefix}_base b LEFT JOIN ${prefix}_best t ON t.id = b.id
+       |  GROUP BY b.id
+       |)""".stripMargin
 }
