@@ -180,10 +180,14 @@ object Checkpoint {
       }
       // salted spread of giant conversations across tasks (the analog of
       // the reference's 50-page PDF split); without it a conversation
-      // clustered into one input split serializes through one task
+      // clustered into one input split serializes through one task.
+      // EXPLICIT partition count: a bare repartition(cols…) is AQE-
+      // coalescible, and byte-based coalescing is blind to kernel CPU
+      // cost — it merges the salted spread back into one task (see
+      // ExtractionJob.extract). REPARTITION_BY_NUM is coalesce-immune.
       val spread =
         if (saltBuckets > 1)
-          withBucket.repartition(
+          withBucket.repartition(spark.sparkContext.defaultParallelism * 4,
             col("conv_id"), pmod(hash(col("turn_idx")), lit(saltBuckets)))
         else withBucket
       import spark.implicits._

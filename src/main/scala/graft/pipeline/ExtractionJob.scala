@@ -31,13 +31,23 @@ object ExtractionJob {
     * repartition on (conv_id, salt) — used when the input layout clusters a
     * giant conversation into few input splits (the analog of the
     * reference's 50-page PDF split, REAL.py:709-774).
+    *
+    * The salted shuffle carries an EXPLICIT partition count (4× the
+    * cluster parallelism, the same heavy-tail sizing the bench pins):
+    * a bare `repartition(cols…)` is a REPARTITION_BY_COL shuffle that
+    * AQE's partition coalescing may legally collapse — and coalescing is
+    * BYTE-based, blind to the per-row kernel CPU cost, so a giant
+    * conversation salted into several byte-small partitions gets merged
+    * straight back into one task (observed at test scale: 8 salts
+    * coalesced to 1 partition). REPARTITION_BY_NUM is coalesce-immune.
     */
   def extract(turns: Dataset[Turn], saltBuckets: Int = 0): Dataset[ExtractedTurn] = {
     val spark = turns.sparkSession
     import spark.implicits._
     val pre =
       if (saltBuckets > 1)
-        turns.repartition(col("conv_id"), pmod(hash(col("turn_idx")), lit(saltBuckets)))
+        turns.repartition(spark.sparkContext.defaultParallelism * 4,
+          col("conv_id"), pmod(hash(col("turn_idx")), lit(saltBuckets)))
       else turns
     pre.mapPartitions { it =>
       // pooled per-partition instances (compile regexes once per task)
@@ -165,6 +175,10 @@ object ExtractionJob {
       .select(col("conv_id"), col("turn_idx"), col("text_clean"),
         col("conf_delta"), col("patterns_detected"))
       .as[(String, Int, String, Double, Int)]
+      // deliberately AQE-coalescible (unlike extract's salted shuffle):
+      // merging whole shuffle partitions keeps each conversation intact,
+      // and the per-task memory floor (one conversation's output) is
+      // unchanged — byte-based coalescing is the right sizing here
       .repartition(col("conv_id"))
       .sortWithinPartitions(col("conv_id"), col("turn_idx"))
       .mapPartitions { it =>

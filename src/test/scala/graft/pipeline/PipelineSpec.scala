@@ -128,6 +128,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(base == salted64)
   }
 
+  test("salting spread: a giant conversation's turns land on MULTIPLE tasks, not one") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions._
+    // conv 0 is the heavy-tail 50x conversation (every 97th); without salt
+    // a conv_id repartition serializes all its turns through ONE task —
+    // the salt must spread it across partitions (the north rule's skew story)
+    // one-partition input: the generator's range layout puts all of
+    // conv0's turns in one split, the exact "clustered input" shape
+    // salting exists for
+    val ds = TranscriptGen.dataset(spark, 25, partitions = 1)
+    val giant = TranscriptGen.convTurns(0)
+    assert(giant >= 200, s"conv0 must be the 50x tail, got $giant turns")
+    // measured through the REAL operator: spark_partition_id after the
+    // kernel map reflects the salted shuffle's partitions (narrow map).
+    // This is also the AQE regression guard: a bare repartition(cols...)
+    // was byte-coalesced back to ONE partition at this scale, silently
+    // un-spreading the giant conversation
+    def partsOfConv0(saltBuckets: Int): Long =
+      ExtractionJob.extract(ds, saltBuckets).toDF()
+        .withColumn("pid", spark_partition_id())
+        .where(col("conv_id") === "conv00000000")
+        .select(countDistinct(col("pid"))).first().getLong(0)
+    assert(partsOfConv0(0) == 1L, "unsalted clustered input = one task (the skew)")
+    assert(partsOfConv0(8) > 1L, "salted extraction must spread the giant conversation")
+  }
+
   test("assembly: stable turn ordering regardless of input row order") {
     val sp = spark; import sp.implicits._
     import org.apache.spark.sql.functions._
