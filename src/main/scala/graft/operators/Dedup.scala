@@ -468,9 +468,10 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double = 0.95, numPlanes: Int = 16, maxBucket: Int = 512): DataFrame = {
     requireIntegralId(df, idCol)
-    // dimension probe: an empty corpus has no pairs — return the empty
-    // result instead of crashing first() on an empty iterator
-    val dimRow = df.select(size(col(vecCol))).head(1)
+    // dimension probe over NON-NULL vectors: an empty (or all-null)
+    // corpus has no pairs — return the empty result instead of crashing;
+    // a null FIRST row must not NPE the probe either (size(null) is null)
+    val dimRow = df.where(col(vecCol).isNotNull).select(size(col(vecCol))).head(1)
     if (dimRow.isEmpty) {
       val spark0 = df.sparkSession
       import org.apache.spark.sql.types._

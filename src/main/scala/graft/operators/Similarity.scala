@@ -351,10 +351,12 @@ object Similarity {
       tables: Int = 8, planesPerTable: Int = 4, seed: Long = 42L,
       dim: Int = -1): DataFrame = {
     // head(1) not first(): an empty corpus builds an empty index (dim 1
-    // placeholder planes — nothing is hashed) instead of crashing
+    // placeholder planes — nothing is hashed) instead of crashing; probe
+    // only NON-NULL vectors so a null first row cannot NPE the getInt
     val d =
       if (dim > 0) dim
-      else df.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(1)
+      else df.where(col(vecCol).isNotNull).select(size(col(vecCol)))
+        .head(1).headOption.map(_.getInt(0)).getOrElse(1)
     val allPlanes: Array[Array[Array[Double]]] =
       Array.tabulate(tables)(t => randomPlanes(planesPerTable, d, seed + t * 7919L))
     // one membership struct per table, all buckets computed by the native

@@ -344,6 +344,20 @@ class Operators2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Chunker.index(null) == Seq.empty)
   }
 
+  test("chunker: oversized single word (the empty-current branch the corpus never hits)") {
+    // a word LONGER than the chunk size with current empty starts its own
+    // chunk (no emit, currentLen = len without the +1) — hand-traced
+    // against the reference recursion (semantic_search.py:137-170)
+    val big = "a" * 15
+    val text = s"$big bb cc"
+    val sem = Chunker.semantic(text, chunkSize = 10, overlapWords = 2)
+    // the oversized word rides in every overlap window thereafter —
+    // faithful to the reference's takeRight carry, pinned not "fixed"
+    assert(sem == Seq(big, s"$big bb", s"$big bb cc"), sem.toString)
+    val idx = Chunker.index(text, maxLength = 10)
+    assert(idx == Seq(big, "bb cc"), idx.toString)
+  }
+
   // ---------- multimodal ----------
 
   test("multimodal: payload schema, batched pooled decode, partition invariance") {

@@ -275,6 +275,22 @@ class Operators5Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2).payload.toSeq == Seq[Byte](1, 3, 5) && out(2).meta.n_bytes == 3L)
   }
 
+  test("dimension probes tolerate a null first embedding (size(null) must not NPE the probe)") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, null.asInstanceOf[Seq[Float]]),
+      (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(1.0f, 0.0f))).toDF("id", "vec")
+    val pairs = Dedup.embeddingNearDups(df, "id", "vec", minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((2L, 3L)), pairs.toSeq.toString)
+    val dir = Files.createTempDirectory("lsh-nullprobe").toString
+    Similarity.buildLshIndex(df, "id", "vec", tables = 2, planesPerTable = 2)
+      .write.mode("overwrite").parquet(dir)
+    assert(sp.read.parquet(dir).count() > 0)
+    Fs.deleteTree(dir)
+  }
+
   test("redact/chunkEmbeddings: non-integral id columns are rejected eagerly (the dedup null-cast trap)") {
     val sp = spark; import sp.implicits._
     val df = Seq(("uuid-a", "text with foo@bar.com")).toDF("id", "text")
