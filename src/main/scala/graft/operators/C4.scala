@@ -95,6 +95,7 @@ object C4 {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, sep: String = "\n"): DataFrame = {
     require(n >= 1, "span width must be >= 1")
+    Dedup.requireIntegralId(df, idCol) // same silent-null-cast trap as dedup
     val sepRegex = java.util.regex.Pattern.quote(sep)
     val u = df.select(
       col(idCol).cast("long").as("id"),

@@ -291,12 +291,13 @@ class Operators5Spec extends AnyFunSuite with BeforeAndAfterAll {
     Fs.deleteTree(dir)
   }
 
-  test("redact/chunkEmbeddings: non-integral id columns are rejected eagerly (the dedup null-cast trap)") {
+  test("redact/chunkEmbeddings/spanDedup: non-integral id columns are rejected eagerly (the dedup null-cast trap)") {
     val sp = spark; import sp.implicits._
     val df = Seq(("uuid-a", "text with foo@bar.com")).toDF("id", "text")
     val e = intercept[IllegalArgumentException](Redact.redact(df, "id", "text"))
     assert(e.getMessage.contains("integral"))
     intercept[IllegalArgumentException](
       SemanticSearch.chunkEmbeddings(df, "id", "text"))
+    intercept[IllegalArgumentException](C4.spanDedup(df, "id", "text"))
   }
 }
