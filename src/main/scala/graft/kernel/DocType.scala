@@ -64,6 +64,10 @@ object DocType {
     }
 
   def classify(text: String): String = {
+    // null degrades to the generic family (the kernel tier's null
+    // convention, like Sections/Chunker): a null text row reaching
+    // classifyConversations must not kill the task
+    if (text == null) return Generic
     val lowered = lower(text)
     val scores = familiesWithLits.map { case (name, pats) =>
       name -> pats.count { case (p, lit) =>

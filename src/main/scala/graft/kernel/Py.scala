@@ -98,13 +98,16 @@ object Py {
     Character.isUpperCase(c) || Character.isLowerCase(c) ||
       Character.getType(c) == Character.TITLECASE_LETTER
 
-  /** Python str.isupper() */
+  /** Python str.isupper() — all cased chars UPPERCASE (a titlecase char
+    * like ǅ is cased but not uppercase, so its presence returns false).
+    */
   def isUpperStr(s: String): Boolean = {
     var anyCased = false
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (Character.isLowerCase(c)) return false
+      if (Character.isLowerCase(c) ||
+        Character.getType(c) == Character.TITLECASE_LETTER) return false
       if (isCased(c)) anyCased = true
       i += 1
     }

@@ -101,6 +101,29 @@ class KernelPropertySpec extends AnyFunSuite {
       "table property violated — the alternation prefilter would change semantics")
   }
 
+  test("Py case predicates follow CPython: titlecase chars are cased but not upper") {
+    // ǅ (U+01C5) is Lt: "ǅ".isupper() is False in Python, "ǅa".istitle() True
+    assert(!Py.isUpperStr("ǅ"))
+    assert(!Py.isUpperStr("ABǅ"))
+    assert(Py.isUpperStr("AB"))
+    assert(Py.isUpperStr("A1 B"))
+    assert(!Py.isUpperStr("1 2"))      // no cased char
+    assert(Py.isTitleStr("ǅa"))   // titlecase leads a title word
+    assert(!Py.isTitleStr("aǅ"))  // upper/title after cased breaks title
+  }
+
+  test("empty input: process throws the reference's ZeroDivisionError analog; processSafe -> None") {
+    val kernel = new TextKernel
+    intercept[ArithmeticException](kernel.process(""))
+    assert(kernel.processSafe("").isEmpty)
+    assert(kernel.processSafe(null).isEmpty)
+  }
+
+  test("DocType.classify degrades null to the generic family (kernel null convention)") {
+    assert(DocType.classify(null) == DocType.Generic)
+    assert(DocType.classify("") == DocType.Generic)
+  }
+
   test("sections/row-extractors never throw and produce well-formed output") {
     corpus.foreach { text =>
       Sections.split(text).foreach(s => assert(s.name.nonEmpty))
