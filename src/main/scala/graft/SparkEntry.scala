@@ -748,6 +748,17 @@ object SparkEntry {
           length(col("xml")).as("n_chars"), md5(col("xml")).as("md"))
       dispatched.unionByName(spans)
     }),
+    // searchable-PDF sink (S7): per-conversation binary PDF with the
+    // extracted text as an invisible layer (kernel-tier byte assembly —
+    // structure validity + text round-trip pinned by PdfSpec; DuckDB has
+    // no PDF form)
+    "x23_searchable_pdf" -> ((s, dir) => {
+      val scale = if (dir.contains("0.1")) 200 else 60
+      graft.pipeline.Render.searchablePdf(
+        ExtractionJob.extract(TranscriptGen.dataset(s, scale)))
+        .select(col("conv_id"), col("num_pages"), col("pdf_bytes"),
+          md5(col("pdf")).as("pdf_md5"))
+    }),
     // search-index derived tables (S10): conversations -> turns -> chunks.
     // persistSource=false: this harness returns a lazy DataFrame, so no
     // one could release the shared cache after the driver's action — the
