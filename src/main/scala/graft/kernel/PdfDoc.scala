@@ -219,8 +219,9 @@ object PdfDoc {
         .append(streamId).append(" 0 R >>\n"); endObj()
       val content = contentStream(page, renderMode3, minConfidence)
       beginObj(streamId)
+      // spec 7.3.8.1: an EOL before `endstream`, NOT counted in /Length
       sb.append("<< /Length ").append(content.length).append(" >>\nstream\n")
-        .append(content).append("endstream\n"); endObj()
+        .append(content).append("\nendstream\n"); endObj()
     }
 
     val xrefOff = sb.length

@@ -84,7 +84,7 @@ class PdfSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
 
     // content streams: declared /Length equals actual bytes; collect Tj text
-    val streamRe = """(?s)<< /Length (\d+) >>\nstream\n(.*?)endstream""".r
+    val streamRe = """(?s)<< /Length (\d+) >>\nstream\n(.*?)\nendstream""".r
     val tjRe = """(?s)\(((?:\\.|[^\\()])*)\) Tj""".r
     val streams = streamRe.findAllMatchIn(doc).map { m =>
       assert(m.group(2).length == m.group(1).toInt, "stream /Length exact")
