@@ -536,6 +536,56 @@ object SparkEntry {
           md5(col("text_dedup")).as("text_md5"))
     }),
 
+    // ---- Gopher document-quality gates (Rae et al. 2021 §A1.1, the
+    // non-repetition rules: word-count bounds, mean word length,
+    // symbol-to-word ratio, bullet/ellipsis line fractions, alpha-word
+    // fraction, stop-word presence). The corpus is flat single-line text
+    // with none of the gated characters, so the query decorates it
+    // deterministically (literal replaces, identical in the SQL mirror):
+    // symbols, non-alpha words, stop words, then line structure, bullets
+    // and trailing ellipses. Bullet/ellipsis thresholds are tightened
+    // from the paper's 0.90/0.30 to 0.10 so those gates discriminate on
+    // this corpus (the operator defaults stay the paper's values); the
+    // mean-word-length gate fires only at sf0.1 (min mwl 2.92 there vs
+    // 3.455 at sf0.01), counted but zero at the gate SF.
+    "q37_gopher_quality" -> ((s, dir) => {
+      import graft.operators.TextAnalysis
+      val deco = Seq(
+        "hash" -> "#", "dup" -> "...", "value" -> "12345", "key" -> "of",
+        "row" -> "and", " " -> "\n", "merge" -> "• merge", "slow" -> "slow...")
+        .foldLeft(col("text")) { case (c, (from, to)) =>
+          regexp_replace(c, java.util.regex.Pattern.quote(from),
+            java.util.regex.Matcher.quoteReplacement(to))
+        }
+      t(s, dir, "documents")
+        .select(
+          TextAnalysis.gopherWordCount(deco).as("wc"),
+          TextAnalysis.meanWordLength(deco).as("mwl"),
+          TextAnalysis.symbolToWordRatio(deco).as("sym"),
+          TextAnalysis.bulletLineFraction(deco).as("bullet"),
+          TextAnalysis.ellipsisLineFraction(deco).as("ell"),
+          TextAnalysis.alphaWordFraction(deco).as("alpha"),
+          TextAnalysis.stopWordCount(deco).as("stops"),
+          TextAnalysis.gopherQualityGate(
+            deco, maxBulletFrac = 0.10, maxEllipsisFrac = 0.10).as("keep"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(!col("wc").between(50, 100000), 1).otherwise(0))
+            .cast("long").as("n_wc_fail"),
+          sum(when(!col("mwl").between(3.0, 10.0), 1).otherwise(0))
+            .cast("long").as("n_mwl_fail"),
+          sum(when(col("sym") > 0.1, 1).otherwise(0)).cast("long").as("n_sym_fail"),
+          sum(when(col("bullet") > 0.1, 1).otherwise(0)).cast("long").as("n_bullet_fail"),
+          sum(when(col("ell") > 0.1, 1).otherwise(0)).cast("long").as("n_ell_fail"),
+          sum(when(col("alpha") < 0.8, 1).otherwise(0)).cast("long").as("n_alpha_fail"),
+          sum(when(col("stops") < 2, 1).otherwise(0)).cast("long").as("n_stop_fail"),
+          sum(when(col("keep"), 1).otherwise(0)).cast("long").as("n_kept"),
+          round(min(col("mwl")), 4).as("min_mwl"),
+          round(max(col("mwl")), 4).as("max_mwl"),
+          round(max(col("sym")), 4).as("max_sym"),
+          round(min(col("alpha")), 4).as("min_alpha"))
+    }),
+
     // ---- composed multi-step workflow with conditional branching ----
     // process -> extract_fields -> validate_data -> conditional routing
     // (workflows.py:139-208 dispatch; nested conditional in the false arm)
@@ -1354,6 +1404,45 @@ object SparkEntry {
          |${C4.spanDedupSql("rel")}
          |SELECT doc_id, n_units, n_units_kept, md5(text_dedup) AS text_md5
          |FROM span_dedup""".stripMargin
+    },
+
+    // Gopher §A1.1 quality gates over the same deterministic decoration;
+    // every signal and the combined gate come from the shared *Sql
+    // generators in TextAnalysis, so Spark and oracle cannot drift
+    "q37_gopher_quality" -> {
+      import graft.operators.TextAnalysis
+      val deco = Seq(
+        "hash" -> "#", "dup" -> "...", "value" -> "12345", "key" -> "of",
+        "row" -> "and", " " -> "chr(10)", "merge" -> "• merge",
+        "slow" -> "slow...")
+        .foldLeft("text") { case (e, (from, to)) =>
+          val toSql = if (to == "chr(10)") to else s"'$to'"
+          s"replace($e, '$from', $toSql)"
+        }
+      s"""WITH d AS (SELECT $deco AS t FROM documents),
+         |s AS (
+         |  SELECT ${TextAnalysis.gopherWordCountSql("t")} AS wc,
+         |         ${TextAnalysis.meanWordLengthSql("t")} AS mwl,
+         |         ${TextAnalysis.symbolToWordRatioSql("t")} AS sym,
+         |         ${TextAnalysis.bulletLineFractionSql("t")} AS bullet,
+         |         ${TextAnalysis.ellipsisLineFractionSql("t")} AS ell,
+         |         ${TextAnalysis.alphaWordFractionSql("t")} AS alpha,
+         |         ${TextAnalysis.stopWordCountSql("t")} AS stops,
+         |         ${TextAnalysis.gopherQualityGateSql(
+              "t", maxBulletFrac = 0.10, maxEllipsisFrac = 0.10)} AS keep
+         |  FROM d)
+         |SELECT count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN NOT (wc BETWEEN 50 AND 100000) THEN 1 ELSE 0 END) AS BIGINT) AS n_wc_fail,
+         |  CAST(sum(CASE WHEN NOT (mwl BETWEEN 3.0 AND 10.0) THEN 1 ELSE 0 END) AS BIGINT) AS n_mwl_fail,
+         |  CAST(sum(CASE WHEN sym > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sym_fail,
+         |  CAST(sum(CASE WHEN bullet > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bullet_fail,
+         |  CAST(sum(CASE WHEN ell > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ell_fail,
+         |  CAST(sum(CASE WHEN alpha < 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_fail,
+         |  CAST(sum(CASE WHEN stops < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_fail,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  round(min(mwl), 4) AS min_mwl, round(max(mwl), 4) AS max_mwl,
+         |  round(max(sym), 4) AS max_sym, round(min(alpha), 4) AS min_alpha
+         |FROM s""".stripMargin
     },
 
     // heavy hitters in the sketch's EXACT regime: the documents vocabulary

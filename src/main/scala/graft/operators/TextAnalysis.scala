@@ -442,4 +442,191 @@ object TextAnalysis {
        |  FROM ${prefix}_base b LEFT JOIN ${prefix}_best t ON t.id = b.id
        |  GROUP BY b.id
        |)""".stripMargin
+
+  // ---- Gopher document-quality gates (Rae et al. 2021 §A1.1, the
+  // non-repetition rules): word-count bounds, mean word length,
+  // symbol-to-word ratio ("#" and "..."), bullet-start / ellipsis-end
+  // line fractions, alphabetic-word fraction, and the stop-word filter.
+  // All pure Column expressions (predicates push into scans) with exact
+  // DuckDB mirrors. Null text behaves as empty; signals over a unit-less
+  // text are 0.0 (such documents are dropped by the word-count gate, so
+  // the convention never rescues a degenerate document).
+
+  /** non-empty whitespace words of lowercased text (gate tokenization:
+    * unlike [[tokens]], edge empties are filtered — Gopher's rules count
+    * words, not split artifacts).
+    */
+  def gopherWords(text: Column): Column =
+    filter(split(trim(lower(coalesce(text, lit("")))), "\\s+"), w => w =!= "")
+
+  private def gopherWordsSql(t: String): String =
+    s"list_filter(regexp_split_to_array(trim(lower(coalesce($t, ''))), '\\s+'), w -> w <> '')"
+
+  /** non-empty (after trim) newline-split lines of the raw text. */
+  def gopherLines(text: Column): Column =
+    filter(split(coalesce(text, lit("")), "\n"), l => trim(l) =!= "")
+
+  private def gopherLinesSql(t: String): String =
+    s"list_filter(regexp_split_to_array(coalesce($t, ''), chr(10)), l -> trim(l) <> '')"
+
+  def gopherWordCount(text: Column): Column = size(gopherWords(text))
+  def gopherWordCountSql(t: String): String = s"len(${gopherWordsSql(t)})"
+
+  /** mean word length in characters; 0.0 for a word-less text. */
+  def meanWordLength(text: Column): Column = {
+    val ws = gopherWords(text)
+    when(size(ws) <= 0, lit(0.0)).otherwise(
+      aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+        size(ws).cast("double"))
+  }
+
+  def meanWordLengthSql(t: String): String = {
+    val ws = gopherWordsSql(t)
+    s"CASE WHEN len($ws) <= 0 THEN 0.0 ELSE " +
+      s"CAST(list_sum(list_transform($ws, w -> CAST(length(w) AS BIGINT))) AS DOUBLE)" +
+      s" / CAST(len($ws) AS DOUBLE) END"
+  }
+
+  /** (count of "#" chars + non-overlapping "..." occurrences) / words;
+    * 0.0 for a word-less text. Gopher's symbol set is exactly {#, ...}.
+    */
+  def symbolToWordRatio(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val ws = gopherWords(text)
+    val hashes = length(t) - length(regexp_replace(t, "#", ""))
+    val ellipses = size(split(t, "\\.\\.\\.", -1)) - lit(1)
+    when(size(ws) <= 0, lit(0.0)).otherwise(
+      (hashes + ellipses).cast("double") / size(ws).cast("double"))
+  }
+
+  def symbolToWordRatioSql(t: String): String = {
+    val ws = gopherWordsSql(t)
+    val ct = s"coalesce($t, '')"
+    s"CASE WHEN len($ws) <= 0 THEN 0.0 ELSE " +
+      s"CAST(length($ct) - length(replace($ct, '#', '')) + " +
+      s"(len(regexp_split_to_array($ct, '\\.\\.\\.')) - 1) AS DOUBLE)" +
+      s" / CAST(len($ws) AS DOUBLE) END"
+  }
+
+  /** fraction of lines whose trimmed form starts with a bullet ("•" or
+    * "- "); 0.0 for a line-less text.
+    */
+  def bulletLineFraction(text: Column): Column = {
+    val ls = gopherLines(text)
+    val bullets = filter(ls, l => {
+      val lt = ltrim(l)
+      lt.startsWith("•") || lt.startsWith("- ")
+    })
+    when(size(ls) <= 0, lit(0.0)).otherwise(
+      size(bullets).cast("double") / size(ls).cast("double"))
+  }
+
+  def bulletLineFractionSql(t: String): String = {
+    val ls = gopherLinesSql(t)
+    val bullets =
+      s"list_filter($ls, l -> starts_with(ltrim(l), '•') OR starts_with(ltrim(l), '- '))"
+    s"CASE WHEN len($ls) <= 0 THEN 0.0 ELSE " +
+      s"CAST(len($bullets) AS DOUBLE) / CAST(len($ls) AS DOUBLE) END"
+  }
+
+  /** fraction of lines whose trimmed form ends with an ellipsis ("..."
+    * or "…"); 0.0 for a line-less text.
+    */
+  def ellipsisLineFraction(text: Column): Column = {
+    val ls = gopherLines(text)
+    val ell = filter(ls, l => {
+      val rt = rtrim(l)
+      rt.endsWith("...") || rt.endsWith("…")
+    })
+    when(size(ls) <= 0, lit(0.0)).otherwise(
+      size(ell).cast("double") / size(ls).cast("double"))
+  }
+
+  def ellipsisLineFractionSql(t: String): String = {
+    val ls = gopherLinesSql(t)
+    val ell =
+      s"list_filter($ls, l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))"
+    s"CASE WHEN len($ls) <= 0 THEN 0.0 ELSE " +
+      s"CAST(len($ell) AS DOUBLE) / CAST(len($ls) AS DOUBLE) END"
+  }
+
+  /** fraction of words containing at least one Unicode letter; 0.0 for a
+    * word-less text.
+    */
+  def alphaWordFraction(text: Column): Column = {
+    val ws = gopherWords(text)
+    val alpha = filter(ws, w => w.rlike("\\p{L}"))
+    when(size(ws) <= 0, lit(0.0)).otherwise(
+      size(alpha).cast("double") / size(ws).cast("double"))
+  }
+
+  def alphaWordFractionSql(t: String): String = {
+    val ws = gopherWordsSql(t)
+    val alpha = s"list_filter($ws, w -> regexp_matches(w, '\\p{L}'))"
+    s"CASE WHEN len($ws) <= 0 THEN 0.0 ELSE " +
+      s"CAST(len($alpha) AS DOUBLE) / CAST(len($ws) AS DOUBLE) END"
+  }
+
+  /** Gopher's stop-word list (the paper's eight English function words). */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** number of DISTINCT stop words present as whole words. */
+  def stopWordCount(text: Column): Column =
+    size(array_intersect(
+      array_distinct(gopherWords(text)),
+      array(GopherStopWords.map(w => lit(w)): _*)))
+
+  def stopWordCountSql(t: String): String = {
+    val list = GopherStopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_intersect(list_distinct(${gopherWordsSql(t)}), $list))"
+  }
+
+  /** Gopher document-quality gate (the paper's §A1.1 defaults): keep a
+    * document iff word count ∈ [minWords, maxWords], mean word length ∈
+    * [minMeanWordLen, maxMeanWordLen], symbol-to-word ratio ≤
+    * maxSymbolRatio, bullet-start lines ≤ maxBulletFrac, ellipsis-end
+    * lines ≤ maxEllipsisFrac, alphabetic-word fraction ≥ minAlphaFrac,
+    * and ≥ minStopWords distinct stop words occur. A pure predicate, so
+    * it pushes into scans; composes with [[repetitionGate]] and the
+    * top-n-gram rule for the paper's full filter.
+    */
+  def gopherQualityGate(
+      text: Column,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletFrac: Double = 0.90,
+      maxEllipsisFrac: Double = 0.30,
+      minAlphaFrac: Double = 0.80,
+      minStopWords: Int = 2): Column =
+    gopherWordCount(text).between(minWords, maxWords) &&
+      meanWordLength(text).between(minMeanWordLen, maxMeanWordLen) &&
+      symbolToWordRatio(text) <= maxSymbolRatio &&
+      bulletLineFraction(text) <= maxBulletFrac &&
+      ellipsisLineFraction(text) <= maxEllipsisFrac &&
+      alphaWordFraction(text) >= minAlphaFrac &&
+      stopWordCount(text) >= minStopWords
+
+  /** DuckDB mirror of [[gopherQualityGate]] with the same parameters. */
+  def gopherQualityGateSql(
+      t: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletFrac: Double = 0.90,
+      maxEllipsisFrac: Double = 0.30,
+      minAlphaFrac: Double = 0.80,
+      minStopWords: Int = 2): String =
+    s"(${gopherWordCountSql(t)} BETWEEN $minWords AND $maxWords" +
+      s" AND ${meanWordLengthSql(t)} BETWEEN $minMeanWordLen AND $maxMeanWordLen" +
+      s" AND ${symbolToWordRatioSql(t)} <= $maxSymbolRatio" +
+      s" AND ${bulletLineFractionSql(t)} <= $maxBulletFrac" +
+      s" AND ${ellipsisLineFractionSql(t)} <= $maxEllipsisFrac" +
+      s" AND ${alphaWordFractionSql(t)} >= $minAlphaFrac" +
+      s" AND ${stopWordCountSql(t)} >= $minStopWords)"
 }

@@ -300,4 +300,81 @@ class Operators5Spec extends AnyFunSuite with BeforeAndAfterAll {
       SemanticSearch.chunkEmbeddings(df, "id", "text"))
     intercept[IllegalArgumentException](C4.spanDedup(df, "id", "text"))
   }
+
+  test("gopherQualityGate: hand-computed truth table, one failing gate per document") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.col
+
+    val good = (Seq.fill(48)("data") ++ Seq("the", "and")).mkString(" ")
+    val fewWords = "the and data"
+    val shortWords = (Seq.fill(48)("a") ++ Seq("the", "and")).mkString(" ")
+    val symbols =
+      (Seq.fill(42)("data") ++ Seq.fill(6)("#") ++ Seq("the", "and")).mkString(" ")
+    val bullets =
+      (Seq.fill(9)("• data data data data data") :+ "• the and data data")
+        .mkString("\n")
+    val ellipsis =
+      (Seq.fill(4)("data data data data data ...") ++
+        Seq.fill(5)("data data data data data data") :+
+        "data data data data the and").mkString("\n")
+    val nonAlpha =
+      (Seq.fill(37)("data") ++ Seq.fill(11)("12345") ++ Seq("the", "and"))
+        .mkString(" ")
+    val oneStop = (Seq.fill(49)("data") :+ "the").mkString(" ")
+
+    val rows = Seq(
+      ("good", good, true), ("few", fewWords, false),
+      ("short", shortWords, false), ("sym", symbols, false),
+      ("bullet", bullets, false), ("ell", ellipsis, false),
+      ("alpha", nonAlpha, false), ("stop", oneStop, false),
+      ("null", null.asInstanceOf[String], false), ("empty", "", false),
+      ("ws", "  \n ", false))
+    val df = rows.toDF("name", "text", "expect")
+
+    val got = df.select(
+      col("name"), col("expect"),
+      TextAnalysis.gopherQualityGate(col("text")).as("keep"),
+      TextAnalysis.gopherWordCount(col("text")).as("wc"),
+      TextAnalysis.meanWordLength(col("text")).as("mwl"),
+      TextAnalysis.symbolToWordRatio(col("text")).as("sym"),
+      TextAnalysis.bulletLineFraction(col("text")).as("bullet"),
+      TextAnalysis.ellipsisLineFraction(col("text")).as("ell"),
+      TextAnalysis.alphaWordFraction(col("text")).as("alpha"),
+      TextAnalysis.stopWordCount(col("text")).as("stops"))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    rows.foreach { case (name, _, expect) =>
+      assert(got(name).getBoolean(2) === expect, s"gate($name)")
+    }
+    // exact signal arithmetic, hand-computed
+    val g = got("good")
+    assert(g.getInt(3) === 50 && math.abs(g.getDouble(4) - 3.96) < 1e-12)
+    assert(got("sym").getDouble(5) === 0.12)           // 6 hashes / 50 words
+    assert(got("bullet").getDouble(6) === 1.0)         // 10 of 10 lines
+    assert(got("ell").getDouble(7) === 0.4)            // 4 of 10 lines
+    assert(got("alpha").getDouble(8) === 39.0 / 50.0)  // 11 numeric words
+    assert(got("stop").getInt(9) === 1 && got("good").getInt(9) === 2)
+    // every failing document fails EXACTLY its intended gate: flipping the
+    // one threshold rescues it (paper defaults otherwise)
+    def keep(name: String, c: org.apache.spark.sql.Column): Boolean =
+      df.where(col("name") === name).select(c).head().getBoolean(0)
+    assert(keep("few", TextAnalysis.gopherQualityGate(col("text"), minWords = 3)))
+    assert(keep("short", TextAnalysis.gopherQualityGate(col("text"), minMeanWordLen = 1.0)))
+    assert(keep("sym", TextAnalysis.gopherQualityGate(col("text"), maxSymbolRatio = 0.2)))
+    assert(keep("bullet", TextAnalysis.gopherQualityGate(col("text"), maxBulletFrac = 1.0)))
+    assert(keep("ell", TextAnalysis.gopherQualityGate(col("text"), maxEllipsisFrac = 0.5)))
+    assert(keep("alpha", TextAnalysis.gopherQualityGate(col("text"), minAlphaFrac = 0.7)))
+    assert(keep("stop", TextAnalysis.gopherQualityGate(col("text"), minStopWords = 1)))
+    // dash bullets and the one-char ellipsis variant count too
+    val variants = Seq(("v", "- item one\n- item two\nplain tail…")).toDF("n", "text")
+    val v = variants.select(
+      TextAnalysis.bulletLineFraction(col("text")),
+      TextAnalysis.ellipsisLineFraction(col("text"))).head()
+    assert(v.getDouble(0) === 2.0 / 3.0 && v.getDouble(1) === 1.0 / 3.0)
+    // tightened maxWords parameter drops an otherwise-good long document
+    val long = Seq(("l", (Seq.fill(68)("data") ++ Seq("the", "and")).mkString(" ")))
+      .toDF("n", "text")
+    assert(!long.select(TextAnalysis.gopherQualityGate(col("text"), maxWords = 60))
+      .head().getBoolean(0))
+  }
 }
