@@ -12,7 +12,12 @@ import graft.pipeline.{CurationJob, DocGen}
   *     --input <parquet dir | synth:NDOCS> --output <dir> \
   *     [--test <benchmark parquet>] [--run-id rc1] \
   *     [--id-col doc_id] [--text-col text] [--version-tag <tag>] \
-  *     [--max-partition-bytes 16m] [--span-dedup true] [--span-n 3]
+  *     [--max-partition-bytes 16m] [--span-dedup true] [--span-n 3] \
+  *     [--gopher-quality true] [--gopher-min-words 50]
+  *     [--gopher-max-words 100000] [--gopher-min-mwl 3.0]
+  *     [--gopher-max-mwl 10.0] [--gopher-max-symbol 0.1]
+  *     [--gopher-max-bullet 0.90] [--gopher-max-ellipsis 0.30]
+  *     [--gopher-min-alpha 0.80] [--gopher-min-stop-words 2]
   *
   * Re-running with the same --output RESUMES: stages whose config hash
   * and upstream identity match their committed manifest are skipped;
@@ -51,9 +56,37 @@ object RunCuration {
       case "false" => false
       case other => sys.error(s"--span-dedup must be true or false, got '$other'")
     }
+    val gopherQuality = opts.getOrElse("gopher-quality", "false") match {
+      case "true" =>
+        val d = graft.operators.TextAnalysis.GopherQualityParams()
+        Some(d.copy(
+          minWords = opts.get("gopher-min-words").map(_.toInt).getOrElse(d.minWords),
+          maxWords = opts.get("gopher-max-words").map(_.toInt).getOrElse(d.maxWords),
+          minMeanWordLen = opts.get("gopher-min-mwl").map(_.toDouble)
+            .getOrElse(d.minMeanWordLen),
+          maxMeanWordLen = opts.get("gopher-max-mwl").map(_.toDouble)
+            .getOrElse(d.maxMeanWordLen),
+          maxSymbolRatio = opts.get("gopher-max-symbol").map(_.toDouble)
+            .getOrElse(d.maxSymbolRatio),
+          maxBulletFrac = opts.get("gopher-max-bullet").map(_.toDouble)
+            .getOrElse(d.maxBulletFrac),
+          maxEllipsisFrac = opts.get("gopher-max-ellipsis").map(_.toDouble)
+            .getOrElse(d.maxEllipsisFrac),
+          minAlphaFrac = opts.get("gopher-min-alpha").map(_.toDouble)
+            .getOrElse(d.minAlphaFrac),
+          minStopWords = opts.get("gopher-min-stop-words").map(_.toInt)
+            .getOrElse(d.minStopWords)))
+      case "false" =>
+        val strays = opts.keys.filter(k => k.startsWith("gopher-") && k != "gopher-quality")
+        require(strays.isEmpty,
+          s"${strays.mkString(", ")} given without --gopher-quality true")
+        None
+      case other => sys.error(s"--gopher-quality must be true or false, got '$other'")
+    }
     val cfg = CurationJob.Config(
       spanDedup = spanDedup,
       spanN = opts.get("span-n").map(_.toInt).getOrElse(3),
+      gopherQuality = gopherQuality,
       version = opts.getOrElse("version-tag", CurationJob.Version))
 
     val builder = SparkSession.builder()

@@ -629,4 +629,33 @@ object TextAnalysis {
       s" AND ${ellipsisLineFractionSql(t)} <= $maxEllipsisFrac" +
       s" AND ${alphaWordFractionSql(t)} >= $minAlphaFrac" +
       s" AND ${stopWordCountSql(t)} >= $minStopWords)"
+
+  /** [[gopherQualityGate]] thresholds as a value — the configuration
+    * surface for composing the gate into pipelines (e.g. the curation
+    * chain's gates stage). Defaults are the paper's §A1.1 values; the
+    * English-specific stop-word rule is the knob a non-English (or
+    * synthetic) corpus turns off with `minStopWords = 0`.
+    */
+  final case class GopherQualityParams(
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletFrac: Double = 0.90,
+      maxEllipsisFrac: Double = 0.30,
+      minAlphaFrac: Double = 0.80,
+      minStopWords: Int = 2) {
+    /** Stable identity string for resume/config hashing. */
+    def identity: String =
+      s"gq|$minWords|$maxWords|$minMeanWordLen|$maxMeanWordLen|" +
+        s"$maxSymbolRatio|$maxBulletFrac|$maxEllipsisFrac|" +
+        s"$minAlphaFrac|$minStopWords"
+  }
+
+  /** [[gopherQualityGate]] driven by a [[GopherQualityParams]] value. */
+  def gopherQualityGate(text: Column, p: GopherQualityParams): Column =
+    gopherQualityGate(text, p.minWords, p.maxWords, p.minMeanWordLen,
+      p.maxMeanWordLen, p.maxSymbolRatio, p.maxBulletFrac,
+      p.maxEllipsisFrac, p.minAlphaFrac, p.minStopWords)
 }

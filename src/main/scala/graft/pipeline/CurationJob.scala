@@ -13,7 +13,8 @@ import graft.operators.{C4, Curation, Dedup, TextAnalysis}
   *
   *   clean (C4 line+document filters) →
   *   spans (C4 corpus-level three-sentence-span dedup; optional) →
-  *   gates (Gopher duplicate-line/paragraph + top-n-gram repetition) →
+  *   gates (Gopher duplicate-line/paragraph + top-n-gram repetition,
+  *          plus the optional §A1.1 document-quality gate) →
   *   exact (fingerprint dedup) →
   *   neardup (MinHash-LSH pairs → cluster resolution → removal) →
   *   decontam (benchmark n-gram decontamination; optional) →
@@ -60,6 +61,7 @@ object CurationJob {
   final case class Config(
       c4MinWords: Int = 3, c4MinSentences: Int = 5,
       spanDedup: Boolean = false, spanN: Int = 3,
+      gopherQuality: Option[TextAnalysis.GopherQualityParams] = None,
       maxDupLineFrac: Double = 0.30, maxDupParaFrac: Double = 0.30,
       maxTop2: Double = 0.20, maxTop3: Double = 0.18, maxTop4: Double = 0.16,
       minhash: Dedup.MinHashParams = Dedup.MinHashParams(),
@@ -265,13 +267,22 @@ object CurationJob {
         })
       }
 
-    // ---- 2. Gopher gates: dup-line/paragraph fractions are pushable
-    // predicates; the top-n-gram rule is the kernel tier (mapPartitions)
+    // ---- 2. Gopher gates: dup-line/paragraph fractions (and, when
+    // enabled, the §A1.1 document-quality gate) are pushable predicates;
+    // the top-n-gram rule is the kernel tier (mapPartitions). The quality
+    // knob contributes to the hash only when set, so pre-existing chains'
+    // committed gates manifests stay valid
     val h2 = md5(s"${cfg.version}|gates|${cfg.maxDupLineFrac}|${cfg.maxDupParaFrac}|" +
-      s"${cfg.maxTop2}|${cfg.maxTop3}|${cfg.maxTop4}")
+      s"${cfg.maxTop2}|${cfg.maxTop3}|${cfg.maxTop4}" +
+      cfg.gopherQuality.map(p => s"|${p.identity}").getOrElse(""))
     val m2 = record("gates", runStage(outDir, "gates", runId, h2,
-      upstreamId = stageIdentity(m1b), lineage = "gopher repetition gates") {
-      data(m1b.stage)
+      upstreamId = stageIdentity(m1b),
+      lineage = "gopher repetition gates" +
+        (if (cfg.gopherQuality.isDefined) " + quality gate" else "")) {
+      val gated = cfg.gopherQuality.fold(data(m1b.stage)) { p =>
+        data(m1b.stage).where(TextAnalysis.gopherQualityGate(col("text"), p))
+      }
+      gated
         .where(TextAnalysis.repetitionGate(
           col("text"), cfg.maxDupLineFrac, cfg.maxDupParaFrac))
         .select(col("doc_id"), col("text")).as[(Long, String)]

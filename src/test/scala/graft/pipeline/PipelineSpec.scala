@@ -558,6 +558,56 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("curation chain: optional Gopher quality gate — equivalence, resume, invalidation") {
+    import graft.operators.TextAnalysis
+    val outA = fsTmp("graft-curation-gq-base")
+    val outB = fsTmp("graft-curation-gq")
+    val docs = DocGen.dataset(spark, 600, partitions = 8)
+    // the synthetic vocabulary contains no English stop words, so the
+    // corpus-appropriate configuration turns that one rule off (the
+    // documented knob); every other threshold stays at the paper default
+    val p = TextAnalysis.GopherQualityParams(minStopWords = 0)
+    val cfgQ = CurationJob.Config(gopherQuality = Some(p))
+
+    val rA = CurationJob.run(spark, docs, outA, "a1", inputId = "synth:600")
+    val rB = CurationJob.run(spark, docs, outB, "b1", cfgQ, inputId = "synth:600")
+    // the gate composes INTO the gates stage — no new stage, no new scan
+    assert(rB.map(_.stage) == Seq("clean", "gates", "exact", "neardup", "split"))
+    val gA = rA.find(_.stage == "gates").get.rows
+    val gB = rB.find(_.stage == "gates").get.rows
+    assert(gB > 0 && gB < gA,
+      s"quality gate must drop short documents but not all: $gB of $gA")
+    // pushable predicates commute: the gated chain's stage output equals
+    // the baseline gates output filtered by the standalone predicate
+    val baseOut = spark.read.parquet(CurationJob.stageDataDir(outA, "gates"))
+    val expected = baseOut
+      .where(TextAnalysis.gopherQualityGate(functions.col("text"), p)).count()
+    assert(gB == expected, s"gated rows $gB != standalone-filtered $expected")
+    val qOut = spark.read.parquet(CurationJob.stageDataDir(outB, "gates"))
+    assert(qOut.where(!TextAnalysis.gopherQualityGate(functions.col("text"), p))
+      .count() == 0, "every survivor must satisfy the gate")
+
+    // resume: identical params skip every stage
+    val rB2 = CurationJob.run(spark, docs, outB, "b2", cfgQ, inputId = "synth:600")
+    assert(rB2.forall(_.resumed), s"full resume expected, got $rB2")
+    // a threshold change recomputes gates + downstream, never clean
+    val cfgQ2 = CurationJob.Config(gopherQuality = Some(p.copy(minWords = 40)))
+    val rB3 = CurationJob.run(spark, docs, outB, "b3", cfgQ2, inputId = "synth:600")
+    val resumed3 = rB3.map(s => s.stage -> s.resumed).toMap
+    assert(resumed3("clean") && !resumed3("gates") && !resumed3("exact") &&
+      !resumed3("split"), s"got $rB3")
+    assert(rB3.find(_.stage == "gates").get.rows > gB,
+      "relaxing minWords must keep more documents")
+    // turning the gate off restores the pre-existing hash: gates rows
+    // return to baseline (and old chains' manifests stay valid — outA's
+    // second run resumes everything)
+    val rB4 = CurationJob.run(spark, docs, outB, "b4", inputId = "synth:600")
+    assert(rB4.find(_.stage == "gates").get.rows == gA)
+    val rA2 = CurationJob.run(spark, docs, outA, "a2", inputId = "synth:600")
+    assert(rA2.forall(_.resumed), "no-gate config hash must be unchanged")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("inputIdentity fingerprints the file listing: appends under the same path invalidate") {
     val dir = Files.createTempDirectory("graft-inpid").toString + "/d"
     DocGen.dataset(spark, 10).write.parquet(dir)
