@@ -37,18 +37,42 @@ assert(s2.forall(_._3) && s2.map(_._2) == s1.map(_._2), s"resume broke: $s2")
 val s3 = stages(run("--run-id", "c", "--version-tag", "drive-v2"))
 assert(s3.forall(!_._3) && s3.map(_._2) == s1.map(_._2), s"invalidation: $s3")
 
-// 4) ground truth: every stage's parquet row count equals its manifest
+// 4) the optional Gopher quality gate at the CLI surface: enabling it
+// (stop-word rule off — the synthetic vocabulary has no English stop
+// words) invalidates gates and downstream ONLY and drops documents.
+// Must run BEFORE this script opens its own session: RunCuration.main
+// stops the active SparkSession when it returns
+val s4 = stages(run("--run-id", "d", "--version-tag", "drive-v2",
+  "--gopher-quality", "true", "--gopher-min-stop-words", "0"))
+val res4 = s4.map(t => t._1 -> t._3).toMap
+assert(res4("clean") && !res4("gates") && !res4("exact") && !res4("split"),
+  s"quality gate must invalidate gates+downstream only: $s4")
+val gates4 = s4.find(_._1 == "gates").get._2
+assert(gates4 > 0 && gates4 < s3.find(_._1 == "gates").get._2,
+  s"quality gate must drop documents: $gates4 of ${s3.find(_._1 == "gates").get._2}")
+
+// 5) ground truth: every stage's parquet row count equals its manifest
+// (clean resumed from run c; gates and downstream recomputed by run d)
 val spark = SparkSession.builder().getOrCreate()
 spark.sparkContext.setLogLevel("WARN")
-s3.foreach { case (stage, rows, _) =>
+s4.foreach { case (stage, rows, resumed) =>
   val onDisk = spark.read.parquet(CurationJob.stageDataDir(out, stage)).count()
   assert(onDisk == rows, s"$stage parquet $onDisk != manifest $rows")
   val m = CurationJob.readStageManifest(out, stage).get
-  assert(m.rows == rows && m.runId == "c", s"$stage manifest $m")
+  assert(m.rows == rows && m.runId == (if (resumed) "c" else "d"),
+    s"$stage manifest $m")
 }
+// every gated survivor satisfies the standalone predicate (the chain
+// applied exactly the configured gate, nothing weaker)
+val p = graft.operators.TextAnalysis.GopherQualityParams(minStopWords = 0)
+val violators = spark.read.parquet(CurationJob.stageDataDir(out, "gates"))
+  .where(!graft.operators.TextAnalysis.gopherQualityGate(
+    org.apache.spark.sql.functions.col("text"), p)).count()
+assert(violators == 0, s"$violators gated survivors violate the predicate")
 // split partitions are readable per split (partition pruning layout)
 val train = spark.read.parquet(CurationJob.stageDataDir(out, "split"))
   .where("split = 'train'").count()
-assert(train > 0 && train <= s3.last._2, s"train=$train")
-println(s"DRIVECURATION OK: stages=${s3.map(t => t._1 + "=" + t._2).mkString(",")} train=$train")
+assert(train > 0 && train <= s4.last._2, s"train=$train")
+
+println(s"DRIVECURATION OK: stages=${s3.map(t => t._1 + "=" + t._2).mkString(",")} train=$train gqGates=$gates4")
 spark.stop()
