@@ -195,8 +195,13 @@ object SparkEntry {
 
     // ---- language-ID heuristic ----
     "q12_langid" -> ((s, dir) => {
+      // factored form of langId (which is langIdFromCounts∘markerCounts):
+      // the tokenize-and-count aggregate is projected ONCE; the argmax
+      // fold then references cheap struct-field extractions instead of
+      // 2^|langs| inlined copies of the aggregate subtree
       t(s, dir, "documents")
-        .select(col("lang"), TextAnalysis.langId(col("text")).as("detected"))
+        .select(col("lang"), TextAnalysis.markerCounts(col("text")).as("mc"))
+        .select(col("lang"), TextAnalysis.langIdFromCounts(col("mc")).as("detected"))
         .groupBy(col("lang"), col("detected"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("detected"))
@@ -204,8 +209,14 @@ object SparkEntry {
 
     // ---- quality scoring ----
     "q13_quality" -> ((s, dir) => {
+      // factored qualityBucket: tokenize once, derive the three integer
+      // features, then the ladder (which references each feature several
+      // times) reads cheap attributes instead of re-splitting the text
       t(s, dir, "documents")
-        .select(TextAnalysis.qualityBucket(col("text")).as("quality"))
+        .select(length(col("text")).as("nc"), TextAnalysis.tokens(col("text")).as("tk"))
+        .select(col("nc"), size(col("tk")).as("nt"),
+          size(array_distinct(col("tk"))).as("nd"))
+        .select(TextAnalysis.qualityBucketOf(col("nc"), col("nt"), col("nd")).as("quality"))
         .groupBy(col("quality"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("quality"))
@@ -366,13 +377,28 @@ object SparkEntry {
     // derived in-query from word boundaries (the metric itself is what's
     // under test; 426/500 docs exceed the 0.30 gate at sf0.01)
     "q26_repetition" -> ((s, dir) => {
-      val lineText = regexp_replace(col("text"), " ", "\n")
-      val paraText = regexp_replace(col("text"), " ", "\n\n")
+      // factored form, results identical: replace() for the literal
+      // single-space substitutions (regexp_replace with a literal pattern
+      // computes the same string through the regex engine), each derived
+      // text projected once, each unit array split once, each fraction
+      // computed once — `keep` is the conjunction repetitionGate(lineText)
+      // expands to: dupLineFraction(lineText) <= 0.30 &&
+      // dupParagraphFraction(lineText) <= 0.30
+      val lineText = replace(col("text"), lit(" "), lit("\n"))
+      val paraText = replace(col("text"), lit(" "), lit("\n\n"))
       t(s, dir, "documents")
+        .select(lineText.as("lt"), paraText.as("pt"))
         .select(
-          TextAnalysis.dupLineFraction(lineText).as("dlf"),
-          TextAnalysis.dupParagraphFraction(paraText).as("dpf"),
-          TextAnalysis.repetitionGate(lineText).as("keep"))
+          TextAnalysis.dupUnits(col("lt"), "\n").as("lu"),
+          TextAnalysis.dupUnits(col("pt"), "\n\n").as("pu"),
+          TextAnalysis.dupUnits(col("lt"), "\n\n").as("lpu"))
+        .select(
+          TextAnalysis.dupFractionOfUnits(col("lu")).as("dlf"),
+          TextAnalysis.dupFractionOfUnits(col("pu")).as("dpf"),
+          TextAnalysis.dupFractionOfUnits(col("lpu")).as("dplf"))
+        .select(
+          col("dlf"), col("dpf"),
+          (col("dlf") <= 0.30 && col("dplf") <= 0.30).as("keep"))
         .agg(
           count(lit(1)).as("n_docs"),
           sum(when(col("dlf") > 0.30, 1).otherwise(0)).cast("long").as("n_high_dup_lines"),
@@ -557,17 +583,30 @@ object SparkEntry {
           regexp_replace(c, java.util.regex.Pattern.quote(from),
             java.util.regex.Matcher.quoteReplacement(to))
         }
+      // factored form (results identical to calling the text-taking signal
+      // functions directly, which delegate to these ...Of forms): the
+      // decorated text, the words array, and the lines array are each
+      // projected ONCE and every signal derives from them — the inlined
+      // form re-ran the 8-regex decoration and the split per signal (and
+      // again per gate conjunct), ~17 decorations/row. `keep` is the same
+      // conjunction gopherQualityGate(deco, maxBulletFrac=0.10,
+      // maxEllipsisFrac=0.10) expands to, over the projected signals.
       t(s, dir, "documents")
+        .select(deco.as("deco"))
+        .withColumn("ws", TextAnalysis.gopherWords(col("deco")))
+        .withColumn("ls", TextAnalysis.gopherLines(col("deco")))
         .select(
-          TextAnalysis.gopherWordCount(deco).as("wc"),
-          TextAnalysis.meanWordLength(deco).as("mwl"),
-          TextAnalysis.symbolToWordRatio(deco).as("sym"),
-          TextAnalysis.bulletLineFraction(deco).as("bullet"),
-          TextAnalysis.ellipsisLineFraction(deco).as("ell"),
-          TextAnalysis.alphaWordFraction(deco).as("alpha"),
-          TextAnalysis.stopWordCount(deco).as("stops"),
-          TextAnalysis.gopherQualityGate(
-            deco, maxBulletFrac = 0.10, maxEllipsisFrac = 0.10).as("keep"))
+          size(col("ws")).as("wc"),
+          TextAnalysis.meanWordLengthOfWords(col("ws")).as("mwl"),
+          TextAnalysis.symbolToWordRatioOfWords(col("deco"), col("ws")).as("sym"),
+          TextAnalysis.bulletLineFractionOfLines(col("ls")).as("bullet"),
+          TextAnalysis.ellipsisLineFractionOfLines(col("ls")).as("ell"),
+          TextAnalysis.alphaWordFractionOfWords(col("ws")).as("alpha"),
+          TextAnalysis.stopWordCountOfWords(col("ws")).as("stops"))
+        .withColumn("keep",
+          col("wc").between(50, 100000) && col("mwl").between(3.0, 10.0) &&
+            col("sym") <= 0.1 && col("bullet") <= 0.1 && col("ell") <= 0.1 &&
+            col("alpha") >= 0.8 && col("stops") >= 2)
         .agg(
           count(lit(1)).as("n_docs"),
           sum(when(!col("wc").between(50, 100000), 1).otherwise(0))

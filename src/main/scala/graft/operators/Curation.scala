@@ -66,7 +66,7 @@ object Curation {
       .select(col(id).cast("long").as("id"), col(text).as("text"))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (i, t) =>
-        Dedup.shingles(Option(t).getOrElse(""), n).iterator.map(s => (s, i))
+        Dedup.shinglesArray(Option(t).getOrElse(""), n).iterator.map(s => (s, i))
       })
       .toDF("s", s"${side}_id")
 

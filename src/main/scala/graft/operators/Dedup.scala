@@ -44,10 +44,58 @@ object Dedup {
   }
 
   /** word k-shingles of lowercased whitespace-tokenized text */
-  def shingles(text: String, k: Int): Set[Long] = {
+  def shingles(text: String, k: Int): Set[Long] = shinglesArray(text, k).toSet
+
+  /** [[shingles]] as a DISTINCT, sorted primitive array — the hot form for
+    * the dedup operators' mapPartitions passes. Hash values are IDENTICAL
+    * to [[shingles]]/[[hash64]] (FNV-1a over the UTF-8 bytes of the
+    * space-joined window, finalized with splitmix64) but computed
+    * incrementally from per-token byte arrays: no per-window String,
+    * no per-window UTF-8 encoder run over already-encoded tokens, no boxed
+    * Set[Long] — the three dominant allocations of the old sliding/mkString
+    * form (guide §1.2 step 2: per-task work on the hottest dedup path).
+    * Every consumer treats the result as a set (minhash min-fold,
+    * array_intersect, postings explode), so the sorted order is free
+    * determinism, not a semantic change.
+    */
+  def shinglesArray(text: String, k: Int): Array[Long] = {
     val toks = graft.kernel.Py.splitWs(text.toLowerCase(java.util.Locale.ROOT))
-    if (toks.length < k) Set(hash64(toks.mkString(" ")))
-    else toks.sliding(k).map(w => hash64(w.mkString(" "))).toSet
+    val n = toks.length
+    val bytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      bytes(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    // FNV-1a fold of one token's bytes into h
+    @inline def fnv(h0: Long, b: Array[Byte]): Long = {
+      var h = h0
+      var j = 0
+      while (j < b.length) { h ^= (b(j) & 0xffL); h *= 0x100000001B3L; j += 1 }
+      h
+    }
+    @inline def windowHash(from: Int, until: Int): Long = {
+      var h = 0xCBF29CE484222325L
+      var j = from
+      while (j < until) {
+        if (j > from) { h ^= 0x20L; h *= 0x100000001B3L } // the joining space
+        h = fnv(h, bytes(j))
+        j += 1
+      }
+      sm64(h)
+    }
+    if (n < k) return Array(windowHash(0, n)) // hash64(toks.mkString(" "))
+    val out = new Array[Long](n - k + 1)
+    i = 0
+    while (i + k <= n) { out(i) = windowHash(i, i + k); i += 1 }
+    java.util.Arrays.sort(out)
+    var w = 0
+    i = 0
+    while (i < out.length) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    if (w == out.length) out else java.util.Arrays.copyOf(out, w)
   }
 
   def jaccard(a: Set[Long], b: Set[Long]): Double =
@@ -61,18 +109,31 @@ object Dedup {
       threshold: Double = 0.6, maxBucket: Int = 64)
 
   def minHashSignature(sh: Set[Long], numHashes: Int): Array[Long] = {
+    val a = new Array[Long](sh.size)
+    var i = 0
+    sh.foreach { h => a(i) = h; i += 1 }
+    minHashSignature(a, numHashes)
+  }
+
+  /** [[minHashSignature]] over a distinct primitive array (order never
+    * matters: the fold is a per-hash min). The hot form.
+    */
+  def minHashSignature(sh: Array[Long], numHashes: Int): Array[Long] = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     // per-hash seeds depend only on the index — hoist them out of the
     // per-shingle loop (|shingles| × numHashes redundant mixes otherwise,
     // on the hottest dedup path)
     val seeds = Array.tabulate(numHashes)(i => sm64(0x5DEECE66DL + i))
-    sh.foreach { h =>
+    var s = 0
+    while (s < sh.length) {
+      val h = sh(s)
       var i = 0
       while (i < numHashes) {
         val v = sm64(h ^ seeds(i))
         if (v < sig(i)) sig(i) = v
         i += 1
       }
+      s += 1
     }
     sig
   }
@@ -125,26 +186,33 @@ object Dedup {
     require(p.numHashes % p.bands == 0, "bands must divide numHashes")
     requireIntegralId(df, idCol)
 
+    // planner-style constant fold: jaccard ∈ [0, 1] by construction, so a
+    // threshold above 1 provably admits no pair — return the empty pair
+    // relation without materializing the banding DAG (the q33 chain runs
+    // with exactly this neutralized knob; an optimizer that executes a
+    // provably-empty filter's subtree is leaving the win on the table)
+    if (p.threshold > 1.0) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType),
+          StructField("jaccard", DoubleType))))
+    }
+
     val docs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
 
-    // (id, shingles) consumed by the signature path and BOTH verify joins.
-    // Deliberately NOT persisted: an un-released persist() pins executor
-    // storage for the session (and at 100 TB the shingle table is LARGER
-    // than the corpus — pinning it is infeasible anyway). The cost model
-    // without the cache: the shingle pass is a narrow map over the scan,
-    // recomputed at most 3× (bands + two verify sides); when the candidate
-    // pair set is small — the normal case — Catalyst broadcasts the PAIRS
-    // and streams the shingle sides, or (AQE, small inputs) broadcasts
-    // shingled once and ReusedExchange shares it. Three narrow scans beat
-    // a corpus-sized cache at every scale, and callers carry zero
-    // cache-lifecycle burden (plan-guarded: bounded recompute, no leak)
-    val shingled = docs.mapPartitions(_.map { case (id, text) =>
-      (id, shingles(Option(text).getOrElse(""), p.shingleSize).toArray)
-    }).toDF("id", "sh")
-
-    val sigs = shingled.as[(Long, Array[Long])].mapPartitions(_.map {
-      case (id, sh) => DocSig(id, minHashSignature(sh.toSet, p.numHashes))
+    // ONE fused shingle→signature kernel pass over the corpus (guide §1.2
+    // step 1: don't run the expensive per-row kernel more often than the
+    // algorithm requires). The shingle ARRAYS are not carried through the
+    // banding shuffle (that would multiply shuffle bytes ×bands, guide
+    // §2.3) and are not persisted (an un-released persist() pins executor
+    // storage for the session, and at 100 TB the shingle table is LARGER
+    // than the corpus). Instead the verify step below re-derives shingles
+    // for CANDIDATE ids only — see the semi-join note.
+    val sigs = docs.mapPartitions(_.map { case (id, text) =>
+      DocSig(id, minHashSignature(
+        shinglesArray(Option(text).getOrElse(""), p.shingleSize), p.numHashes))
     })
 
     // band exploding: (band, bandKey) -> id
@@ -169,20 +237,38 @@ object Dedup {
       .select(col("pr.a").as("id_a"), col("pr.b").as("id_b"))
       .distinct() // a pair can collide in several bands
 
-    // verify candidates with exact jaccard over the shingle sets; the
-    // arrays are distinct-element, so |A∩B| = size(array_intersect) and
+    // Verify candidates with exact jaccard over the shingle sets. The
+    // shingle kernel runs again ONLY for ids that appear in a candidate
+    // pair: a semi-join of the corpus against the exploded pair-id list
+    // prunes the scan BEFORE the kernel (near-dup candidate sets are tiny
+    // relative to the corpus — guide §8: decide with small rows first,
+    // touch heavy rows once). The three references to `pairs` below share
+    // its materialized distinct() shuffle (ReusedExchange / AQE stage
+    // reuse), so the banding DAG still executes exactly once.
+    // no distinct(): left_semi deduplicates the build side, and dropping
+    // the extra exchange keeps the candidate prune at one stage
+    val candIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+    val candSh = docs.toDF("id", "text")
+      .join(candIds, Seq("id"), "left_semi")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, shinglesArray(Option(text).getOrElse(""), p.shingleSize))
+      })
+      .toDF("id", "sh")
+
+    // the arrays are distinct-element, so |A∩B| = size(array_intersect) and
     // |A∪B| = |A|+|B|-|A∩B| — pure built-in expressions (codegen), no UDF
     val common = size(array_intersect(col("sh_a"), col("sh_b")))
     val union = size(col("sh_a")) + size(col("sh_b")) - common
-    val out = pairs
-      .join(shingled.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(shingled.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    pairs
+      .join(candSh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(candSh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("jaccard",
         when(union === 0, lit(1.0))
           .otherwise(common.cast("double") / union.cast("double")))
       .where(col("jaccard") >= p.threshold)
       .select("id_a", "id_b", "jaccard")
-    out
   }
 
   /** Exact-Jaccard brute force for tests (O(n²) — small inputs only). */
@@ -303,7 +389,7 @@ object Dedup {
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) =>
-        (id, shingles(Option(t).getOrElse(""), shingleSize).toArray)
+        (id, shinglesArray(Option(t).getOrElse(""), shingleSize))
       })
       .toDF("id", "sh")
       .select(col("id"), col("sh"), size(col("sh")).as("n"))

@@ -268,6 +268,24 @@ object Similarity {
       .limit(k)
   }
 
+  /** Cluster rows on the partition columns before a `partitionBy` write
+    * (guide §6 file layout / §2.5 deterministic keys): without it every
+    * upstream task holds a writer per partition VALUE it sees, emitting
+    * tasks × values small files — and the dynamic-partition sort that
+    * avoids concurrent writers serializes each task through ALL its
+    * values. Hash-clustering with an EXPLICIT count (REPARTITION_BY_NUM,
+    * AQE-coalesce-immune, same reasoning as ExtractionJob's salted
+    * shuffle) gives each reducer a few whole partition values, so the
+    * index lands as ~one well-sized file per partition value and the
+    * file writing parallelizes across the cluster instead of through
+    * one scan task. The shuffle moves the index exactly once — strictly
+    * less I/O than the many-small-file commit it replaces.
+    */
+  private def clusterForWrite(index: DataFrame, cols: Seq[String]): DataFrame = {
+    val par = index.sparkSession.sparkContext.defaultParallelism
+    index.repartition(math.max(par, 1), cols.map(col): _*)
+  }
+
   /** Persist an [[ivfIndex]] partitioned by list id — the physical layout
     * where a probe is partition pruning (reads nProbe of nList
     * directories). Centroids are a tiny driver-side array (nList × dim);
@@ -275,7 +293,8 @@ object Similarity {
     * [[ivfTopKIndexed]] at query time.
     */
   def writeIvfIndex(index: DataFrame, path: String): Unit =
-    index.write.mode("overwrite").partitionBy("ivf_list").parquet(path)
+    clusterForWrite(index, Seq("ivf_list"))
+      .write.mode("overwrite").partitionBy("ivf_list").parquet(path)
 
   /** Incrementally extend a materialized IVF index with NEW vectors using
     * the index's ORIGINAL trained centroids (retraining would silently
@@ -298,7 +317,10 @@ object Similarity {
     // write job; an all-duplicate batch writes no files and observes 0
     val add = ivfIndex(fresh, "id", "v", cents, nAssign)
     val obs = org.apache.spark.sql.Observation()
-    add.observe(obs, coalesce(count(lit(1)), lit(0L)).as("n"))
+    // observe ABOVE the clustering shuffle (row count is repartition-
+    // invariant; an observe below it is not reliably collected)
+    clusterForWrite(add, Seq("ivf_list"))
+      .observe(obs, coalesce(count(lit(1)), lit(0L)).as("n"))
       .write.mode("append").partitionBy("ivf_list").parquet(path)
     obs.get.apply("n") match {
       case n: Long => n; case n: Number => n.longValue(); case _ => 0L
@@ -374,10 +396,12 @@ object Similarity {
   }
 
   /** Persist the index partitioned by (table, bucket): the physical layout
-    * that turns a query's bucket list into partition pruning.
+    * that turns a query's bucket list into partition pruning. Clustered on
+    * the partition columns first — see [[clusterForWrite]].
     */
   def writeLshIndex(index: DataFrame, path: String): Unit =
-    index.write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
+    clusterForWrite(index, Seq("table", "bucket"))
+      .write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
 
   /** Incrementally extend a materialized LSH index with NEW vectors — the
     * engine analog of the reference's incremental cache upsert
@@ -414,7 +438,10 @@ object Similarity {
     val add = buildLshIndex(fresh, "id", "v", tables, planesPerTable, seed,
       dim = probe.head.getInt(0))
     val obs = org.apache.spark.sql.Observation()
-    add.observe(obs, coalesce(count(lit(1)), lit(0L)).as("n"))
+    // observe ABOVE the clustering shuffle (row count is repartition-
+    // invariant; an observe below it is not reliably collected)
+    clusterForWrite(add, Seq("table", "bucket"))
+      .observe(obs, coalesce(count(lit(1)), lit(0L)).as("n"))
       .write.mode("append").partitionBy("table", "bucket").parquet(path)
     obs.get.apply("n") match {
       case n: Long => n; case n: Number => n.longValue(); case _ => 0L

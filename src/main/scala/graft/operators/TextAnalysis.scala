@@ -53,14 +53,31 @@ object TextAnalysis {
     * text 2×|langs| times); the final argmax is a scalar when-ladder with
     * identical tie semantics to the oracle SQL.
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = langIdFromCounts(markerCounts(text))
+
+  /** ONE `aggregate` over the token array accumulating all marker counts
+    * into a struct. Project this into a column once and feed it to
+    * [[langIdFromCounts]]: the argmax fold below references its input
+    * 2^|langs| times (each fold step doubles the accumulator tree), so
+    * inlining the aggregate there would replicate the expensive
+    * tokenize-and-count subtree exponentially — factored, the ladder
+    * duplicates only cheap struct-field extractions.
+    */
+  def markerCounts(text: Column): Column = {
     val names = markers.map(_._1)
     val zero = struct(names.map(n => lit(0).as(n)): _*)
-    val counts = aggregate(tokens(text), zero, (acc, t) =>
+    aggregate(tokens(text), zero, (acc, t) =>
       struct(markers.map { case (lang, ws) =>
         (acc.getField(lang) + when(t.isin(ws: _*), 1).otherwise(0)).as(lang)
       }: _*))
-    val hits = names.map(n => n -> counts.getField(n))
+  }
+
+  /** The argmax when-ladder over a pre-projected [[markerCounts]] struct
+    * (identical tie semantics to the oracle SQL: strictly-greater keeps
+    * earlier languages, minimum evidence 2 via the (und, 1) seed).
+    */
+  def langIdFromCounts(counts: Column): Column = {
+    val hits = markers.map { case (lang, _) => lang -> counts.getField(lang) }
     val best = hits.foldLeft((lit("und"), lit(1))) {
       case ((bestLang, bestHits), (lang, h)) =>
         // strictly-greater keeps earlier languages on ties (priority order)
@@ -91,10 +108,16 @@ object TextAnalysis {
     * (quality_detector.py:331-380: score thresholds 0.8/0.6/0.4/0.2 →
     * excellent/good/fair/poor/very_poor).
     */
-  def qualityBucket(text: Column): Column = {
-    val nChars = length(text)
-    val nTokens = tokenCount(text)
-    val nDistinct = distinctTokenCount(text)
+  def qualityBucket(text: Column): Column =
+    qualityBucketOf(length(text), tokenCount(text), distinctTokenCount(text))
+
+  /** The bucket ladder over pre-projected integer features — project
+    * (length, tokenCount, distinctTokenCount) once and feed them here when
+    * several consumers share the tokenization (the ladder references each
+    * feature several times, so inlined text features re-split per
+    * reference).
+    */
+  def qualityBucketOf(nChars: Column, nTokens: Column, nDistinct: Column): Column = {
     // integer-arithmetic score: 0..10, exact in any engine
     val score =
       when(nChars >= 400, lit(4)).when(nChars >= 150, lit(3))
@@ -237,14 +260,24 @@ object TextAnalysis {
   // 2021 §A1.1: documents dominated by repeated lines/paragraphs are
   // boilerplate/spam and are dropped before training) ----
 
+  /** non-empty units of `text` split on `sep` — the dupUnitFraction
+    * tokenization, exposed so consumers that need several fractions of the
+    * same text can project the units array ONCE and derive each fraction
+    * from it ([[dupFractionOfUnits]]) instead of re-splitting per signal.
+    */
+  def dupUnits(text: Column, sep: String): Column =
+    filter(split(text, sep), u => trim(u) =!= "")
+
+  /** duplicate fraction over a pre-projected [[dupUnits]] array. */
+  def dupFractionOfUnits(units: Column): Column =
+    when(size(units) <= 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(units)).cast("double") / size(units).cast("double"))
+
   /** fraction of non-empty units (split on `sep`) that are duplicates:
     * 1 - distinct/total; 0.0 for unit-less text. Pure column expr.
     */
-  private def dupUnitFraction(text: Column, sep: String): Column = {
-    val units = filter(split(text, sep), u => trim(u) =!= "")
-    when(size(units) <= 0, lit(0.0)).otherwise(
-      lit(1.0) - size(array_distinct(units)).cast("double") / size(units).cast("double"))
-  }
+  private def dupUnitFraction(text: Column, sep: String): Column =
+    dupFractionOfUnits(dupUnits(text, sep))
 
   /** DuckDB mirror; `sepSql` is a SQL expression for the split regex
     * (e.g. `chr(10)`), `t` any SQL text expression.
@@ -472,13 +505,65 @@ object TextAnalysis {
   def gopherWordCount(text: Column): Column = size(gopherWords(text))
   def gopherWordCountSql(t: String): String = s"len(${gopherWordsSql(t)})"
 
-  /** mean word length in characters; 0.0 for a word-less text. */
-  def meanWordLength(text: Column): Column = {
-    val ws = gopherWords(text)
+  // ---- pre-projected ("…Of…") forms of the Gopher signals: compute
+  // gopherWords / gopherLines ONCE into columns and derive every signal
+  // from the arrays. The text-taking forms below delegate here, so the
+  // two can never drift; consumers that need several signals of the same
+  // text (q37, the chain's gates stage) should project the arrays first —
+  // factored common-subexpression elimination the optimizer is not
+  // guaranteed to perform across a when-ladder of higher-order functions.
+
+  /** [[meanWordLength]] over a pre-projected [[gopherWords]] array. */
+  def meanWordLengthOfWords(ws: Column): Column =
     when(size(ws) <= 0, lit(0.0)).otherwise(
       aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") /
         size(ws).cast("double"))
+
+  /** [[symbolToWordRatio]] with a pre-projected words array. */
+  def symbolToWordRatioOfWords(text: Column, ws: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val hashes = length(t) - length(replace(t, lit("#"), lit("")))
+    val ellipses = size(split(t, "\\.\\.\\.", -1)) - lit(1)
+    when(size(ws) <= 0, lit(0.0)).otherwise(
+      (hashes + ellipses).cast("double") / size(ws).cast("double"))
   }
+
+  /** [[bulletLineFraction]] over a pre-projected [[gopherLines]] array. */
+  def bulletLineFractionOfLines(ls: Column): Column = {
+    val bullets = filter(ls, l => {
+      val lt = ltrim(l)
+      lt.startsWith("•") || lt.startsWith("- ")
+    })
+    when(size(ls) <= 0, lit(0.0)).otherwise(
+      size(bullets).cast("double") / size(ls).cast("double"))
+  }
+
+  /** [[ellipsisLineFraction]] over a pre-projected [[gopherLines]] array. */
+  def ellipsisLineFractionOfLines(ls: Column): Column = {
+    val ell = filter(ls, l => {
+      val rt = rtrim(l)
+      rt.endsWith("...") || rt.endsWith("…")
+    })
+    when(size(ls) <= 0, lit(0.0)).otherwise(
+      size(ell).cast("double") / size(ls).cast("double"))
+  }
+
+  /** [[alphaWordFraction]] over a pre-projected words array. */
+  def alphaWordFractionOfWords(ws: Column): Column = {
+    val alpha = filter(ws, w => w.rlike("\\p{L}"))
+    when(size(ws) <= 0, lit(0.0)).otherwise(
+      size(alpha).cast("double") / size(ws).cast("double"))
+  }
+
+  /** [[stopWordCount]] over a pre-projected words array. */
+  def stopWordCountOfWords(ws: Column): Column =
+    size(array_intersect(
+      array_distinct(ws),
+      array(GopherStopWords.map(w => lit(w)): _*)))
+
+  /** mean word length in characters; 0.0 for a word-less text. */
+  def meanWordLength(text: Column): Column =
+    meanWordLengthOfWords(gopherWords(text))
 
   def meanWordLengthSql(t: String): String = {
     val ws = gopherWordsSql(t)
@@ -490,14 +575,8 @@ object TextAnalysis {
   /** (count of "#" chars + non-overlapping "..." occurrences) / words;
     * 0.0 for a word-less text. Gopher's symbol set is exactly {#, ...}.
     */
-  def symbolToWordRatio(text: Column): Column = {
-    val t = coalesce(text, lit(""))
-    val ws = gopherWords(text)
-    val hashes = length(t) - length(regexp_replace(t, "#", ""))
-    val ellipses = size(split(t, "\\.\\.\\.", -1)) - lit(1)
-    when(size(ws) <= 0, lit(0.0)).otherwise(
-      (hashes + ellipses).cast("double") / size(ws).cast("double"))
-  }
+  def symbolToWordRatio(text: Column): Column =
+    symbolToWordRatioOfWords(text, gopherWords(text))
 
   def symbolToWordRatioSql(t: String): String = {
     val ws = gopherWordsSql(t)
@@ -511,15 +590,8 @@ object TextAnalysis {
   /** fraction of lines whose trimmed form starts with a bullet ("•" or
     * "- "); 0.0 for a line-less text.
     */
-  def bulletLineFraction(text: Column): Column = {
-    val ls = gopherLines(text)
-    val bullets = filter(ls, l => {
-      val lt = ltrim(l)
-      lt.startsWith("•") || lt.startsWith("- ")
-    })
-    when(size(ls) <= 0, lit(0.0)).otherwise(
-      size(bullets).cast("double") / size(ls).cast("double"))
-  }
+  def bulletLineFraction(text: Column): Column =
+    bulletLineFractionOfLines(gopherLines(text))
 
   def bulletLineFractionSql(t: String): String = {
     val ls = gopherLinesSql(t)
@@ -532,15 +604,8 @@ object TextAnalysis {
   /** fraction of lines whose trimmed form ends with an ellipsis ("..."
     * or "…"); 0.0 for a line-less text.
     */
-  def ellipsisLineFraction(text: Column): Column = {
-    val ls = gopherLines(text)
-    val ell = filter(ls, l => {
-      val rt = rtrim(l)
-      rt.endsWith("...") || rt.endsWith("…")
-    })
-    when(size(ls) <= 0, lit(0.0)).otherwise(
-      size(ell).cast("double") / size(ls).cast("double"))
-  }
+  def ellipsisLineFraction(text: Column): Column =
+    ellipsisLineFractionOfLines(gopherLines(text))
 
   def ellipsisLineFractionSql(t: String): String = {
     val ls = gopherLinesSql(t)
@@ -553,12 +618,8 @@ object TextAnalysis {
   /** fraction of words containing at least one Unicode letter; 0.0 for a
     * word-less text.
     */
-  def alphaWordFraction(text: Column): Column = {
-    val ws = gopherWords(text)
-    val alpha = filter(ws, w => w.rlike("\\p{L}"))
-    when(size(ws) <= 0, lit(0.0)).otherwise(
-      size(alpha).cast("double") / size(ws).cast("double"))
-  }
+  def alphaWordFraction(text: Column): Column =
+    alphaWordFractionOfWords(gopherWords(text))
 
   def alphaWordFractionSql(t: String): String = {
     val ws = gopherWordsSql(t)
@@ -573,9 +634,7 @@ object TextAnalysis {
 
   /** number of DISTINCT stop words present as whole words. */
   def stopWordCount(text: Column): Column =
-    size(array_intersect(
-      array_distinct(gopherWords(text)),
-      array(GopherStopWords.map(w => lit(w)): _*)))
+    stopWordCountOfWords(gopherWords(text))
 
   def stopWordCountSql(t: String): String = {
     val list = GopherStopWords.map(w => s"'$w'").mkString("[", ", ", "]")
