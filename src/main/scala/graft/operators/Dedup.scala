@@ -249,6 +249,12 @@ object Dedup {
     // the extra exchange keeps the candidate prune at one stage
     val candIds = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+    // the trailing repartition materializes the candidate shingles behind
+    // ONE exchange: both verify sides reference this subtree, and without
+    // a shuffle boundary each side would re-run the semi-join scan + the
+    // kernel (harmless when candidates are sparse, a second near-full
+    // pass on duplicate-dense corpora). With it, AQE stage reuse computes
+    // candidates once; the shuffled bytes are candidate shingles only
     val candSh = docs.toDF("id", "text")
       .join(candIds, Seq("id"), "left_semi")
       .as[(Long, String)]
@@ -256,6 +262,7 @@ object Dedup {
         (id, shinglesArray(Option(text).getOrElse(""), p.shingleSize))
       })
       .toDF("id", "sh")
+      .repartition(col("id"))
 
     // the arrays are distinct-element, so |A∩B| = size(array_intersect) and
     // |A∪B| = |A|+|B|-|A∩B| — pure built-in expressions (codegen), no UDF
@@ -298,7 +305,9 @@ object Dedup {
       val h = hash64(t)
       var i = 0
       while (i < 64) {
-        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+        // branchless ±1: hash bits are uniform, so a per-bit branch
+        // mispredicts half the time — same arithmetic, no branch
+        acc(i) += ((((h >>> i) & 1L).toInt) << 1) - 1
         i += 1
       }
     }

@@ -125,7 +125,9 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     var cents = ivfCentroids(df, idCol, vecCol, nList)
-    val data = df.select(col(vecCol)).as[Seq[Float]]
+    // Array[Float] encoder: primitive-array deserialization, no per-element
+    // boxing through a Seq wrapper on the training passes
+    val data = df.select(col(vecCol)).as[Array[Float]]
     var round = 0
     while (round < iters) {
       val bc = spark.sparkContext.broadcast(cents)
@@ -133,7 +135,7 @@ object Similarity {
         val cs = bc.value
         val acc = scala.collection.mutable.Map.empty[Int, (Array[Double], Long)]
         rows.foreach { v =>
-          val a = v.toArray
+          val a = v
           val l = nearestCentroid(a, cs)
           val (s, n) = acc.getOrElse(l, (new Array[Double](a.length), 0L))
           var i = 0
