@@ -104,9 +104,16 @@ object Dedup {
 
   // ---------- MinHash + LSH ----------
 
+  /** `verifyPruneMinBytes`: the verify step's candidate semi-join prune is
+    * SIZE-ADAPTIVE (see [[minHashNearDups]]); corpora whose optimizer-
+    * estimated input size is under this many bytes skip the prune. Not
+    * part of any semantic identity (results are independent of the plan
+    * shape), so it deliberately does not participate in config hashes.
+    */
   final case class MinHashParams(
       numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
-      threshold: Double = 0.6, maxBucket: Int = 64)
+      threshold: Double = 0.6, maxBucket: Int = 64,
+      verifyPruneMinBytes: Long = 64L << 20)
 
   def minHashSignature(sh: Set[Long], numHashes: Int): Array[Long] = {
     val a = new Array[Long](sh.size)
@@ -237,32 +244,50 @@ object Dedup {
       .select(col("pr.a").as("id_a"), col("pr.b").as("id_b"))
       .distinct() // a pair can collide in several bands
 
-    // Verify candidates with exact jaccard over the shingle sets. The
-    // shingle kernel runs again ONLY for ids that appear in a candidate
-    // pair: a semi-join of the corpus against the exploded pair-id list
-    // prunes the scan BEFORE the kernel (near-dup candidate sets are tiny
-    // relative to the corpus — guide §8: decide with small rows first,
-    // touch heavy rows once). The three references to `pairs` below share
-    // its materialized distinct() shuffle (ReusedExchange / AQE stage
-    // reuse), so the banding DAG still executes exactly once.
-    // no distinct(): left_semi deduplicates the build side, and dropping
-    // the extra exchange keeps the candidate prune at one stage
-    val candIds = pairs
-      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
-    // the trailing repartition materializes the candidate shingles behind
-    // ONE exchange: both verify sides reference this subtree, and without
-    // a shuffle boundary each side would re-run the semi-join scan + the
-    // kernel (harmless when candidates are sparse, a second near-full
-    // pass on duplicate-dense corpora). With it, AQE stage reuse computes
-    // candidates once; the shuffled bytes are candidate shingles only
-    val candSh = docs.toDF("id", "text")
-      .join(candIds, Seq("id"), "left_semi")
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        (id, shinglesArray(Option(text).getOrElse(""), p.shingleSize))
-      })
-      .toDF("id", "sh")
-      .repartition(col("id"))
+    // Verify candidates with exact jaccard over the shingle sets. The plan
+    // shape is SIZE-ADAPTIVE (the resolveClusters philosophy; results are
+    // identical either way — the shape only decides where the kernel runs):
+    //
+    //   - At scale (estimated input >= p.verifyPruneMinBytes) the shingle
+    //     kernel runs again ONLY for ids that appear in a candidate pair:
+    //     a semi-join of the corpus against the exploded pair-id list
+    //     prunes the scan BEFORE the kernel (near-dup candidate sets are
+    //     tiny relative to the corpus — guide §8: decide with small rows
+    //     first, touch heavy rows once), and a trailing repartition
+    //     materializes the candidate shingles behind ONE exchange so both
+    //     verify sides share it via AQE stage reuse (without the boundary
+    //     each side re-runs the semi-join scan + kernel — a second
+    //     near-full pass on duplicate-dense corpora). The references to
+    //     `pairs` share its materialized distinct() shuffle
+    //     (ReusedExchange), so the banding DAG still executes exactly once.
+    //   - Small corpora skip the prune: the semi-join + repartition cost
+    //     ~3 fixed plan stages, while the whole-corpus shingle pass they
+    //     avoid is PROPORTIONAL to corpus size — under the threshold the
+    //     fixed stages dominate (measured at sf0.1, best-of-5: 1.5k-doc
+    //     duplicate-dense corpus 0.83 s unpruned vs 1.07 s pruned; the
+    //     sparse 5k-doc corpora within noise either way). Both verify
+    //     sides then recompute the narrow corpus kernel — bounded by the
+    //     same size gate that chose this branch.
+    val pruneVerify =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes >= p.verifyPruneMinBytes
+    val candSh =
+      if (pruneVerify) {
+        // no distinct(): left_semi deduplicates the build side, and
+        // dropping the extra exchange keeps the prune at one stage
+        val candIds = pairs
+          .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+        docs.toDF("id", "text")
+          .join(candIds, Seq("id"), "left_semi")
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            (id, shinglesArray(Option(text).getOrElse(""), p.shingleSize))
+          })
+          .toDF("id", "sh")
+          .repartition(col("id"))
+      } else
+        docs.mapPartitions(_.map { case (id, text) =>
+          (id, shinglesArray(Option(text).getOrElse(""), p.shingleSize))
+        }).toDF("id", "sh")
 
     // the arrays are distinct-element, so |A∩B| = size(array_intersect) and
     // |A∪B| = |A|+|B|-|A∩B| — pure built-in expressions (codegen), no UDF

@@ -105,23 +105,37 @@ class Operators3Spec extends AnyFunSuite with BeforeAndAfterAll {
     val sp = spark
     import sp.implicits._
     val df = corpus.toDF("doc_id", "text")
-    val q = Dedup.minHashNearDups(df, "doc_id", "text")
+
+    // ---- small-corpus shape (the size-adaptive default on this input):
+    // verify reads whole-corpus shingles directly — sigs pass + one
+    // shingle node per verify side = <=3 kernel nodes, no semi-join stages
+    val qSmall = Dedup.minHashNearDups(df, "doc_id", "text")
+    val planSmall = qSmall.queryExecution.executedPlan.toString
+    val smallScans = "MapPartitions graft\\.operators\\.Dedup".r
+      .findAllMatchIn(planSmall).size
+    assert(smallScans <= 3,
+      s"small-corpus shape: expected <=3 Dedup mapPartitions, got $smallScans:\n$planSmall")
+    assert(!planSmall.contains("CartesianProduct") && !planSmall.contains("InMemoryTableScan"),
+      s"no cartesian, no cached relation:\n$planSmall")
+
+    // ---- forced at-scale shape (verifyPruneMinBytes = 0): the verify
+    // step re-shingles CANDIDATE ids only, behind a semi-join prune. In
+    // the static plan the pairs subtree (holding the fused shingle→
+    // signature pass) appears three times — the two candidate sides and
+    // the pair join — and the candidate re-shingle twice, so <=5 Dedup
+    // mapPartitions NODES; at runtime AQE stage reuse collapses the three
+    // pairs copies onto one materialized shuffle (asserted below), so the
+    // corpus kernel still executes exactly once.
+    val q = Dedup.minHashNearDups(df, "doc_id", "text",
+      Dedup.MinHashParams(verifyPruneMinBytes = 0L))
     val plan = q.queryExecution.executedPlan.toString
-    // CORPUS-sized kernel passes are bounded at ONE (the fused shingle→
-    // signature pass feeding the banding); the verify step re-shingles
-    // CANDIDATE ids only, behind a semi-join prune. In the static plan the
-    // pairs subtree (holding the fused pass) appears three times — the two
-    // candidate sides and the pair join — and the candidate re-shingle
-    // twice, so <=5 Dedup mapPartitions NODES; at runtime AQE stage reuse
-    // collapses the three pairs copies onto one materialized shuffle
-    // (asserted below), so the corpus kernel still executes exactly once.
     val shingleScans = "MapPartitions graft\\.operators\\.Dedup".r
       .findAllMatchIn(plan).size
     assert(shingleScans <= 5,
       s"expected <=5 Dedup mapPartitions in the plan, got $shingleScans:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("InMemoryTableScan"),
       s"no cartesian, no cached relation:\n$plan")
-    q.collect() // drive AQE to the final plan
+    val rowsPruned = q.collect() // drive AQE to the final plan
     val finalPlan = q.queryExecution.executedPlan.toString
     assert(finalPlan.contains("isFinalPlan=true"), finalPlan)
     // the banding shuffle feeding all three pairs references must be
@@ -129,6 +143,13 @@ class Operators3Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(finalPlan.contains("ReusedExchange") ||
       "MapPartitions graft\\.operators\\.Dedup".r.findAllMatchIn(finalPlan).size <= 3,
       s"banding subtree must be shared across its three consumers:\n$finalPlan")
+
+    // ---- the two shapes are RESULT-identical (the adaptive switch only
+    // moves where the kernel runs, never what is computed)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e12))
+    assert(qSmall.collect().map(key).toSet == rowsPruned.map(key).toSet,
+      "size-adaptive verify shapes must produce identical pairs")
   }
 
   // ---------- set_value non-struct path: reference TypeError => no-op ----------
