@@ -128,10 +128,38 @@ final class SpanTemplate(
     identificationPatterns.map(p =>
       Pattern.compile(p, Py.IFLAGS | Pattern.MULTILINE))
 
+  /** Per-pattern required lowercase literal ("" = none provable): a
+    * case-insensitive regex match implies the lowered text contains this
+    * substring, so a `contains` miss on a pre-lowered copy skips the regex
+    * scan entirely — the same necessary-condition prefilter DocType's
+    * classifier uses, derived automatically by
+    * [[SpanTemplates.requiredLiteralCI]].
+    */
+  private[kernel] val requiredLits: Array[String] =
+    identificationPatterns.map(SpanTemplates.requiredLiteralCI).toArray
+
   /** fraction of identification patterns matching (templates.py:266-279) */
-  def matchesDocument(text: String): Double =
+  def matchesDocument(text: String): Double = matchesDocument(text, null)
+
+  /** `lowered` is a toLowerCase(ROOT) copy of `text` that
+    * [[SpanTemplates.identify]]'s case-fold guard has validated for literal
+    * prefiltering, or null to run every regex unconditionally. Semantics
+    * are identical either way (the literal is a necessary condition of the
+    * match); only the number of regex scans changes.
+    */
+  private[kernel] def matchesDocument(text: String, lowered: String): Double =
     if (compiled.isEmpty) 0.0
-    else compiled.count(_.matcher(text).find()).toDouble / compiled.size
+    else {
+      var hits = 0
+      var i = 0
+      while (i < compiled.length) {
+        val lit = requiredLits(i)
+        if ((lowered == null || lit.isEmpty || lowered.contains(lit)) &&
+            compiled(i).matcher(text).find()) hits += 1
+        i += 1
+      }
+      hits.toDouble / compiled.size
+    }
 
   def extractFields(text: String): Seq[FieldSpan] = {
     val out = ListBuffer.empty[FieldSpan]
@@ -193,14 +221,132 @@ object SpanTemplates {
   /** registration order matters for tie-breaks (templates.py:521-524) */
   val all: Seq[SpanTemplate] = Seq(invoice, businessCard, receipt)
 
+  /** Longest literal substring a CASE-INSENSITIVE match of `src` provably
+    * forces into the lowered text, or "" when none can be proven.
+    * Conservative single-pass parser over the regex source covering the
+    * identification-pattern inventory's shapes:
+    *
+    *   - plain literal chars and escaped literal punct accumulate runs;
+    *   - class/boundary escapes (\w \d \s \b …), '.', '^', '$' break runs;
+    *   - a '?' or '*' quantifier drops its (optional) atom; '+' keeps it
+    *     (x+y still forces "xy": every match ends …xy); '{m,…}' keeps one
+    *     copy when m ≥ 1;
+    *   - top-level alternation: the result must be forced by EVERY branch
+    *     (longest branch-0 run contained in some run of each other
+    *     branch, e.g. fone|telefone → "fone");
+    *   - raw groups/classes/anything unrecognized ⇒ bail to "" (regexes
+    *     still run, just without the skip).
+    *
+    * The literal is only trusted over pre-lowered text that passed
+    * [[identify]]'s case-fold guard, and only when pure ASCII: for ASCII
+    * targets, any char c that CI-matches letter L satisfies
+    * toLowerCase(c) == L except the three guarded fold anomalies
+    * (İ U+0130 — length changes on lowering; ı U+0131; ſ U+017F).
+    */
+  private[kernel] def requiredLiteralCI(src: String): String = {
+    def branchRuns(b: String): Option[Seq[String]] = {
+      val runs = ListBuffer.empty[String]
+      val cur = new StringBuilder
+      def flush(): Unit = { if (cur.nonEmpty) { runs += cur.toString; cur.clear() } }
+      var i = 0
+      // consume a quantifier following an atom; returns 0 = none,
+      // 1 = keep-one ('+' or {m>=1,…}), 2 = optional ('?', '*', {0,…})
+      def quant(): Int = {
+        if (i >= b.length) return 0
+        b.charAt(i) match {
+          case '?' => i += 1; 2
+          case '*' => i += 1; 2
+          case '+' => i += 1; 1
+          case '{' =>
+            val close = b.indexOf('}', i)
+            if (close < 0) { i = b.length; 2 }
+            else {
+              val body = b.substring(i + 1, close)
+              val m = body.takeWhile(_.isDigit)
+              i = close + 1
+              if (i < b.length && (b.charAt(i) == '?' || b.charAt(i) == '+')) i += 1
+              if (m.nonEmpty && m.toInt >= 1) 1 else 2
+            }
+          case _ => 0
+        }
+      }
+      while (i < b.length) {
+        val c = b.charAt(i)
+        if (c == '\\') {
+          if (i + 1 >= b.length) return None
+          val e = b.charAt(i + 1)
+          i += 2
+          if ("wWdDsSbBAZzGhHvVR".indexOf(e) >= 0) { flush(); quant(); () }
+          else if (e.isDigit) return None // backreference
+          else quant() match {
+            case 2 => flush()
+            case 1 => cur += e; flush() // x+ may repeat before the next atom
+            case _ => cur += e
+          }
+        } else if (c == '(' || c == ')' || c == '[' || c == ']') return None
+        else if (c == '.') { i += 1; flush(); quant(); () }
+        else if (c == '^' || c == '$') { i += 1; flush() }
+        else if (c == '?' || c == '*' || c == '+' || c == '{') return None // orphan
+        else {
+          i += 1
+          quant() match {
+            case 2 => flush()
+            case 1 => cur += c; flush()
+            case _ => cur += c
+          }
+        }
+      }
+      flush()
+      Some(runs.toSeq)
+    }
+    // split top-level alternation ('\|' never splits; groups already bail)
+    val branches = ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0
+    while (i < src.length) {
+      val c = src.charAt(i)
+      if (c == '\\' && i + 1 < src.length) { cur += c; cur += src.charAt(i + 1); i += 2 }
+      else if (c == '|') { branches += cur.toString; cur.clear(); i += 1 }
+      else { cur += c; i += 1 }
+    }
+    branches += cur.toString
+    val allRuns = branches.map(branchRuns)
+    if (allRuns.exists(r => r.isEmpty || r.get.isEmpty)) return ""
+    // candidates: every substring of branch-0's runs, longest first — a
+    // literal forced by all branches need not be a whole run of any
+    // (cel\.|celular forces "cel", a proper substring of both)
+    val rest = allRuns.tail.map(_.get)
+    val chosen = allRuns.head.get
+      .flatMap(r => for {
+        s <- 0 until r.length; e <- (s + 1) to r.length
+      } yield r.substring(s, e))
+      .distinct.sortBy(-_.length)
+      .find(lit => rest.forall(_.exists(_.contains(lit))))
+      .getOrElse("")
+    val lowered = Py.lower(chosen)
+    if (lowered.forall(ch => ch < 128)) lowered else ""
+  }
+
   /** best template with confidence >= its threshold, strictly improving —
-    * TemplateManager.identify_document_type (templates.py:578-595)
+    * TemplateManager.identify_document_type (templates.py:578-595).
+    *
+    * One lowered copy of the text feeds every template's literal
+    * prefilter (the per-turn profile put the unfiltered 13-regex scan at
+    * ~30% of processTurn; DocType's prefiltered 21-regex classify runs
+    * 10× faster). The case-fold guard falls back to unfiltered matching
+    * for the three Unicode chars whose lowering diverges from the regex
+    * engine's per-char case folding against ASCII literals.
     */
   def identify(text: String): Option[SpanTemplate] = {
+    val lowered = Py.lower(text)
+    val lw =
+      if (lowered.length == text.length &&
+        lowered.indexOf('ı') < 0 && lowered.indexOf('ſ') < 0) lowered
+      else null
     var best: Option[SpanTemplate] = None
     var bestConf = 0.0
     all.foreach { t =>
-      val c = t.matchesDocument(text)
+      val c = t.matchesDocument(text, lw)
       if (c > bestConf && c >= t.confidenceThreshold) {
         bestConf = c
         best = Some(t)

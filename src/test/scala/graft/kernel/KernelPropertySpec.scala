@@ -68,6 +68,83 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(t3 == "o ação 1 123. 456. 789-09 dr. . .")
   }
 
+  test("formatText's punct no-op fast path matches the sub-only reference") {
+    // the original formatText body with UNCONDITIONAL subs — the ground
+    // truth the fast path must reproduce byte-for-byte (patterns verbatim)
+    val pWs = Py.compile("""\s+""")
+    val pSpaceBeforePunct = Py.compile("""\s+([.,;:!?])""")
+    val pPunctSpace = Py.compile("""([.,;:!?])\s*""")
+    val pSpaceQuote = Py.compile("""\s+\"""")
+    val pQuoteSpace = Py.compile("""\"\s+""")
+    val pSpaceOpenParen = Py.compile("""\s+\(""")
+    val pOpenParenSpace = Py.compile("""\(\s+""")
+    val pSpaceCloseParen = Py.compile("""\s+\)""")
+    val pCloseParenSpace = Py.compile("""\)\s+""")
+    val pTripleBreak = Py.compile("""\n\s*\n\s*\n""")
+    def ref(t0: String): String = {
+      var text = t0
+      text = Py.sub(pSpaceBeforePunct, """\1""", text)
+      text = Py.sub(pPunctSpace, Seq(Py.Grp(1), Py.Lit(" ")), text)
+      text = Py.subLiteral(pSpaceQuote, " \"", text)
+      text = Py.subLiteral(pQuoteSpace, "\" ", text)
+      text = Py.subLiteral(pSpaceOpenParen, " (", text)
+      text = Py.subLiteral(pOpenParenSpace, "(", text)
+      text = Py.subLiteral(pSpaceCloseParen, ")", text)
+      text = Py.subLiteral(pCloseParenSpace, ") ", text)
+      text = Py.subLiteral(pWs, " ", text)
+      text = Py.subLiteral(pTripleBreak, "\n\n", text)
+      Py.strip(text)
+    }
+    val kernel = new TextKernel
+    val edges = Seq(
+      "", ".", ". ", "a.", "a. ", "a.b", "a. b", "a.  b", "a .b", "a . b",
+      "a.\nb", "a..", "a.. b", "a,;x", "a, b. c! d? e: f; g.",
+      "end with quote. \"", "(a. b)", "( a.b )", "\"a\" . b", "a...",
+      "x.  ", "x. .", "tab.\tb", "nbsp. b", "a.b. c.d.", "á. ç.")
+    (edges ++ corpus).foreach { t =>
+      assert(kernel.formatText(t) == ref(t),
+        s"formatText fast path diverged on: ${t.take(80)}")
+    }
+  }
+
+  test("identify's literal prefilter is a sound necessary condition") {
+    // the parser derives the expected literals for the inventory's shapes
+    assert(SpanTemplates.requiredLiteralCI("""nota\s+fiscal""") == "fiscal")
+    assert(SpanTemplates.requiredLiteralCI("""@\w+\.\w+""") == "@")
+    assert(SpanTemplates.requiredLiteralCI("""\(\d{2}\)\s*\d{4,5}\-?\d{4}""") == "(")
+    assert(SpanTemplates.requiredLiteralCI("""cel\.|celular""") == "cel")
+    assert(SpanTemplates.requiredLiteralCI("""fone|telefone""") == "fone")
+    // every built-in identification pattern must yield a non-empty literal
+    // (the prefilter's whole point — a pattern edit that defeats the
+    // parser silently reverts that template to unfiltered scanning)
+    SpanTemplates.all.foreach { t =>
+      assert(t.requiredLits.forall(_.nonEmpty),
+        s"template ${t.name} has a pattern with no derivable literal: " +
+          t.requiredLits.mkString("[", ", ", "]"))
+    }
+    // prefiltered and unfiltered matching agree on pattern-bearing text in
+    // assorted cases, on the property corpus, and on the fold-guard chars
+    val bearing = Seq(
+      "Nota Fiscal no 123", "NOTA   FISCAL", "emitiu nfe ontem", "NFE",
+      "CNPJ 11.222.333/0001-81", "valor total R$ 12,00", "VALOR\tTOTAL",
+      "fatura vence", "FATURA", "mail a@b.cd ok", "tel (11) 98765-4321",
+      "cel. 99999", "CELULAR novo", "fone 3222", "TELEFONE fixo",
+      "cupom fiscal 77", "CUPOM FISCAL", "recibo anexo", "COMPROVANTE",
+      "total pago hoje", "TOTAL PAGO", "fıscal dotless", "ſtotal long-s",
+      "İstanbul nota fiscal", "")
+    (bearing ++ corpus).foreach { text =>
+      SpanTemplates.all.foreach { t =>
+        val lowered = Py.lower(text)
+        val lw =
+          if (lowered.length == text.length &&
+            lowered.indexOf('ı') < 0 && lowered.indexOf('ſ') < 0) lowered
+          else null
+        assert(t.matchesDocument(text, lw) == t.matchesDocument(text, null),
+          s"prefilter changed ${t.name} on: $text")
+      }
+    }
+  }
+
   test("spans are valid offsets and raw matches slice the text") {
     val kernel = new TextKernel
     corpus.foreach { text =>
