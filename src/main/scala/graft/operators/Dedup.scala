@@ -419,37 +419,58 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     requireIntegralId(df, idCol)
-    val shingled = df
+
+    // Postings carry ONLY (id, shingle) — set sizes are NOT threaded
+    // through the pair expansion (guide §2.3 shuffle fewer bytes: the
+    // postings exchange and the per-pair aggregate are the two dominant
+    // flows of this operator, and the old shape widened BOTH with a size
+    // column that is a pure function of id). The explicit-count
+    // repartition is load-bearing twice over: it is the ONE exchange both
+    // consumers below share via ReusedExchange (without it each consumer
+    // re-runs scan + shingle kernel + explode), and the explicit count
+    // makes it AQE-coalesce-immune (the round-5 lesson: byte-based
+    // coalescing would serialize the CPU-heavy pair expansion that runs
+    // on this exchange's output).
+    val postings = df
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
-      .mapPartitions(_.map { case (id, t) =>
-        (id, shinglesArray(Option(t).getOrElse(""), shingleSize))
+      .mapPartitions(_.flatMap { case (id, t) =>
+        shinglesArray(Option(t).getOrElse(""), shingleSize).iterator
+          .map(s => (id, s))
       })
-      .toDF("id", "sh")
-      .select(col("id"), col("sh"), size(col("sh")).as("n"))
-    // no persist: set sizes are carried through the postings (single
-    // consumer), so nothing is recomputed
+      .toDF("id", "s")
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("s"))
 
-    val postings = shingled
-      .select(col("id"), col("n"), explode(col("sh")).as("s"))
+    // |sh| per doc, recovered as the per-id posting count (shinglesArray
+    // is distinct, so count == size(sh) exactly; the pre-cap postings are
+    // counted, preserving the old full-set denominator semantics). One
+    // map-combinable agg over the shared exchange — one narrow row per doc.
+    val sizes = postings.groupBy(col("id")).agg(count(lit(1)).as("n"))
 
     // one shuffle on shingle hash; df-capped UPPER-TRIANGLE pair expansion
-    // inside the agg (bucket sorted by id once; element i pairs only with
-    // later elements — half the structs of emit-all-then-filter)
+    // inside the agg (bucket sorted once; element i pairs only with later
+    // elements — half the pairs of emit-all-then-filter; bare-long bucket
+    // elements sort and pair without per-element struct allocation)
     val pairCommon = postings
       .groupBy(col("s"))
-      .agg(sort_array(collect_list(struct(col("id"), col("n")))).as("ds"))
+      .agg(sort_array(collect_list(col("id"))).as("ds"))
       .where(size(col("ds")).between(2, maxDocFreq))
       .select(explode(expr(
         "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds)), " +
           "b -> named_struct('a', a, 'b', b))))"))
         .as("pr"))
-      .groupBy(
-        col("pr.a.id").as("id_a"), col("pr.b.id").as("id_b"),
-        col("pr.a.n").as("n_a"), col("pr.b.n").as("n_b"))
+      .groupBy(col("pr.a").as("id_a"), col("pr.b").as("id_b"))
       .agg(count(lit(1)).as("common"))
 
+    // Re-attach sizes to the surviving pairs. No broadcast hint: the size
+    // table is one row per document, so AQE broadcasts it at benchmark /
+    // moderate corpus sizes (measured locally: both joins run as
+    // BroadcastHashJoin over a ReusedExchange'd single size aggregate) and
+    // falls back to a shuffled join of the much-smaller-than-postings pair
+    // table when a giant corpus makes the size table unbroadcastable.
     pairCommon
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("n_a") + col("n_b") - col("common")).cast("double"))
