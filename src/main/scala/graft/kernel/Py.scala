@@ -147,6 +147,21 @@ object Py {
   def lower(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
   def upper(s: String): String = s.toUpperCase(java.util.Locale.ROOT)
 
+  /** Java regex `\w` under UNICODE_CHARACTER_CLASS, per code point —
+    * [\p{Alpha}\p{gc=Mn}\p{gc=Me}\p{gc=Mc}\p{Digit}\p{gc=Pc}\p{IsJoin_Control}]
+    * (Pattern javadoc table). Used by the kernel's hand-rolled token
+    * scanners that replace whole-token probe regexes; the property suite
+    * pins scanner-vs-regex equality, so a divergence from the engine's
+    * `\w` fails loudly there.
+    */
+  def isUWordCp(cp: Int): Boolean =
+    Character.isAlphabetic(cp) || Character.isDigit(cp) || {
+      val t = Character.getType(cp)
+      t == Character.NON_SPACING_MARK || t == Character.ENCLOSING_MARK ||
+      t == Character.COMBINING_SPACING_MARK ||
+      t == Character.CONNECTOR_PUNCTUATION
+    } || cp == 0x200C || cp == 0x200D // ZWNJ/ZWJ = Join_Control
+
   /** re.findall semantics: 0 groups → whole match; 1 group → that group
     * ("" when it did not participate); n groups → all groups concatenated
     * (the reference only ever joins tuples, text_processor.py:419-420).

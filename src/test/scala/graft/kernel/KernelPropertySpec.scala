@@ -107,6 +107,37 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("confusion-probe token scanners match the verbatim reference regexes") {
+    // the original probe patterns, compiled exactly as the kernel used to
+    // (text_processor.py:332-365 shapes) — the ground truth the scanners
+    // must reproduce: same match strings, same order, same duplicates
+    import java.util.regex.Pattern
+    def digitToAlpha(w: Char) =
+      Py.compile("""\b\w*""" + Pattern.quote(w.toString) + """\w*\b""")
+    def alphaToDigit(w: Char) =
+      Py.compile("""\b\d*""" + Pattern.quote(w.toString) + """\d*\b""")
+    val kernel = new TextKernel
+    val adversarial = Seq(
+      "", "0", "l", "5l5", "l5l", "ll", "0l0", "a0b 00 x_0 _0_",
+      "5O5O", "O", "xO1", "1O", "O1", "a O b", "1 l 2", "l.l,l",
+      "v0ce c0m 1nf0", "tel: 4002-8922 l1nha", "٣l٤ ٠0٠",   // Arabic-Indic digits
+      "él0 combining", "a‍0 zwj a‌0 zwnj",   // marks + join controls
+      "𝔞0𝔟 astral", "𝟘l astral-digit", "ǅ0 titlecase",
+      "_0_ __ l_1", "über0 açã0 ação", "日本語0 漢l字",
+      "0̀ grave-on-digit", "a-0-b a.0.b (0) [l5]",
+      "trailing0", "0leading", "many 0s 0 0 0 dup dup0 dup0")
+    (adversarial ++ corpus).foreach { t =>
+      Seq('0').foreach { w =>
+        assert(kernel.scanTokensContaining(t, w) == Py.findAll(digitToAlpha(w), t),
+          s"digit→alpha scanner diverged for '$w' on: ${t.take(80)}")
+      }
+      Seq('O', 'l', 'I', 'S', 'G', 'B', 'g').foreach { w =>
+        assert(kernel.scanDigitRunsWithOne(t, w) == Py.findAll(alphaToDigit(w), t),
+          s"alpha→digit scanner diverged for '$w' on: ${t.take(80)}")
+      }
+    }
+  }
+
   test("identify's literal prefilter is a sound necessary condition") {
     // the parser derives the expected literals for the inventory's shapes
     assert(SpanTemplates.requiredLiteralCI("""nota\s+fiscal""") == "fiscal")
