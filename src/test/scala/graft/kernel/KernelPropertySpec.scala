@@ -138,6 +138,82 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("digit-anchored findAll matches the generic engine on the table patterns") {
+    // the verbatim digit-opening patterns from the table
+    // (text_processor.py:167-231) — anchored driving must yield the exact
+    // same match list as the plain scan
+    val table = Seq(
+      ("""\b\d{3}\.?\d{3}\.?\d{3}-?\d{2}\b""", false),
+      ("""\b\d{2}\.?\d{3}\.?\d{3}/?\d{4}-?\d{2}\b""", false),
+      ("""\b\d{5}-?\d{3}\b""", false),
+      ("""\b\(?\d{2}\)?\s?\d{4,5}-?\d{4}\b""", true),
+      ("""\b\d{1,2}[\/\-\.]\d{1,2}[\/\-\.]\d{2,4}\b""", false),
+      ("""\b\d{1,2}:\d{2}(:\d{2})?\b""", false),
+      ("""\b\d{7}-?\d{2}\.\d{4}\.\d{1}\.\d{2}\.\d{4}\b""", true)) // paren-driving a paren-less pattern must be harmless too
+      .map { case (r, paren) => (Py.compile(r), paren) }
+    val kernel = new TextKernel
+    def runs(t: String): (Array[Int], Int) = {
+      val rs = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var prev = false
+      var i = 0
+      while (i < t.length) {
+        val d = Character.isDigit(t.charAt(i))
+        if (d && !prev) rs += i
+        prev = d; i += 1
+      }
+      (rs.toArray, rs.length)
+    }
+    val adversarial = Seq(
+      "", "123.456.789-09", "x123.456.789-09y", "123456789012345678901234",
+      "(11) 98765-4321", "a(11)98765-4321", " (11 98765-4321", "((11) 91234-5678",
+      "01/02/2023 25:99 12:34:56 12:34:56:78", "11.222.333/0001-81",
+      "12345-678 1234567-89.0123.4.56.7890", "a1b2c3 9999",
+      "٣٤٥ ١٢:٣٤ unicode digits", "1٢3 mixed-digit run",
+      "00000000000", "000.000.000-00", "end digits 123", "123 start digits",
+      "dots.1.2.3.4.5 colons:1:2:3", "(((((((", "()()() (1) (12)3456-7890",
+      "12:34", "1:23", ":123:", "x:12:34:x")
+    (adversarial ++ corpus).foreach { t =>
+      val (rs, k) = runs(t)
+      table.foreach { case (p, paren) =>
+        assert(kernel.findAllDigitAnchored(p, t, rs, k, paren) == Py.findAll(p, t),
+          s"anchored findAll diverged for ${p.pattern} on: ${t.take(80)}")
+      }
+    }
+  }
+
+  test("abbreviation match scanner and bounded replace match the regex engine") {
+    import java.util.regex.Pattern
+    val kernel = new TextKernel
+    val keys = Seq("dr", "dra", "sr", "sra", "ltda", "sa", "cia", "prof",
+      "profa", "av", "r", "al", "tv", "pca", "est", "rod", "km", "n", "art",
+      "inc", "par", "cf", "fl", "fls", "p", "pp", "obs", "ref", "anexo",
+      "apendice")
+    val adversarial = Seq(
+      "", "dr", "dr.", "Dr. Silva", "DR", "dR", "a_dr", "dr_a", "pedro",
+      "adr dra drax", "dr dr dr", "o sr. e a sra.", "km 42 KM KKm",
+      "ſr ſa", "İnc ınc inc", "n Nº nº", "ǅr",
+      "r. r, r; R", "p.p pp p_p", "av av. AV Av", "ação dr ação",
+      "日本語 dr 漢字", "a‍dr zwj-run", "combining dr̃ tilde",
+      "𝔡r astral", "_r r_ _r_", "x.r.y", "(r) [r] {r}")
+    val texts = adversarial ++ corpus
+    texts.foreach { t =>
+      keys.foreach { key =>
+        val rx = Py.compileI("""\b""" + Pattern.quote(key) + """\b""")
+        assert(kernel.scanAbbrevMatches(t, key) == Py.findAll(rx, t),
+          s"abbrev scanner diverged for '$key' on: ${t.take(80)}")
+      }
+    }
+    // bounded replace vs the verbatim case-sensitive \bm\b subLiteral
+    val ms = Seq("dr", "Dr", "DR", "r", "Km", "KKm", "anexo", "Nº")
+    texts.foreach { t =>
+      ms.foreach { m =>
+        val rx = Py.compile("""\b""" + Pattern.quote(m) + """\b""")
+        assert(kernel.replaceWordBounded(t, m, "X.") == Py.subLiteral(rx, "X.", t),
+          s"bounded replace diverged for '$m' on: ${t.take(80)}")
+      }
+    }
+  }
+
   test("identify's literal prefilter is a sound necessary condition") {
     // the parser derives the expected literals for the inventory's shapes
     assert(SpanTemplates.requiredLiteralCI("""nota\s+fiscal""") == "fiscal")
