@@ -100,7 +100,9 @@ class KernelPropertySpec extends AnyFunSuite {
       "", ".", ". ", "a.", "a. ", "a.b", "a. b", "a.  b", "a .b", "a . b",
       "a.\nb", "a..", "a.. b", "a,;x", "a, b. c! d? e: f; g.",
       "end with quote. \"", "(a. b)", "( a.b )", "\"a\" . b", "a...",
-      "x.  ", "x. .", "tab.\tb", "nbsp. b", "a.b. c.d.", "á. ç.")
+      "x.  ", "x. .", "tab.\tb", "nbsp. b", "a.b. c.d.", "á. ç.",
+      "12:34", "12:34:56", "123.456.789-09", "a . . b", "a \t. b",
+      ". . ", "a.\t\n.b", ",;:!?.", " , ; ", "R$ 1.500,00", "x:  :y")
     (edges ++ corpus).foreach { t =>
       assert(kernel.formatText(t) == ref(t),
         s"formatText fast path diverged on: ${t.take(80)}")
@@ -211,6 +213,50 @@ class KernelPropertySpec extends AnyFunSuite {
         assert(kernel.replaceWordBounded(t, m, "X.") == Py.subLiteral(rx, "X.", t),
           s"bounded replace diverged for '$m' on: ${t.take(80)}")
       }
+    }
+  }
+
+  test("correctSpelling's no-op fast path matches the split-join reference") {
+    // the original stage body (text_processor.py:367-384 semantics, the
+    // correction table verbatim) — ground truth for the fast path
+    val table = Seq(
+      "rn" -> "m", "cl" -> "d", "li" -> "h", "nn" -> "n", "oo" -> "o",
+      "ii" -> "i",
+      "0" -> "o", "O" -> "0", "l" -> "1", "I" -> "1", "S" -> "5", "G" -> "6",
+      "B" -> "8", "g" -> "9",
+      "voce" -> "você", "nao" -> "não", "estao" -> "estão", "entao" -> "então",
+      "coracao" -> "coração", "posicao" -> "posição",
+      "informacao" -> "informação", "atencao" -> "atenção",
+      "funcao" -> "função", "decisao" -> "decisão", "opcao" -> "opção",
+      "situacao" -> "situação", "condicao" -> "condição")
+    val tableMap = table.toMap
+    val pNonWord = Py.compile("""[^\w]""")
+    val kernel = new TextKernel
+    def ref(text: String): (String, Int) = {
+      var corrections = 0
+      val words = Py.splitWs(text)
+      var i = 0
+      while (i < words.length) {
+        val word = words(i)
+        val cleanWord = Py.subLiteral(pNonWord, "", Py.lower(word))
+        tableMap.get(cleanWord).foreach { corr =>
+          val corrected = kernel.preserveWordFormat(word, corr)
+          if (corrected != word) { words(i) = corrected; corrections += 1 }
+        }
+        i += 1
+      }
+      (words.mkString(" "), corrections)
+    }
+    val adversarial = Seq(
+      "", " ", "voce", "Voce", "VOCE", "voce.", "(voce)", "v_oce", "nao nao",
+      "  double  space", "tab\there", "trailing ", " leading", "não ação",
+      "İ voce", "ſ nao", "voce nao", "l 0 O I S G B g", "l. (0)",
+      "informacao", "informacaoo", "…voce…", "🙂voce", "a_b c-d e.f",
+      "rn cl li nn oo ii", "RN Cl lI", "x\nvoce", "٣ voce", "ǅvoce",
+      "K km", "0̀ combining-on-digit", "word " * 30)
+    (adversarial ++ corpus).foreach { t =>
+      assert(kernel.correctSpelling(t) == ref(t),
+        s"correctSpelling fast path diverged on: ${t.take(80)}")
     }
   }
 
