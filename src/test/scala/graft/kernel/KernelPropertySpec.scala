@@ -260,6 +260,24 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Py.isUWordCp equals the engine's \\w over the BMP and sampled astral planes") {
+    import java.util.regex.Pattern
+    val w = Pattern.compile("""\w""", Pattern.UNICODE_CHARACTER_CLASS)
+    def engineW(cp: Int): Boolean =
+      w.matcher(new String(Character.toChars(cp))).matches()
+    // full BMP sweep (surrogate code points can't be expressed as a
+    // standalone string, skip them), then a sampled astral sweep covering
+    // the math-alphanumeric, CJK-B, and emoji blocks
+    (0 to 0xFFFF).foreach { cp =>
+      if (!Character.isSurrogate(cp.toChar))
+        assert(Py.isUWordCp(cp) == engineW(cp), f"isUWordCp diverged at U+$cp%04X")
+    }
+    (Seq(0x10000, 0x1D400, 0x1D7CE, 0x1F600, 0x20000, 0x2F800) ++
+      (0x10000 to 0x2FFFF by 257)).foreach { cp =>
+      assert(Py.isUWordCp(cp) == engineW(cp), f"isUWordCp diverged at U+$cp%04X")
+    }
+  }
+
   test("identify's literal prefilter is a sound necessary condition") {
     // the parser derives the expected literals for the inventory's shapes
     assert(SpanTemplates.requiredLiteralCI("""nota\s+fiscal""") == "fiscal")
