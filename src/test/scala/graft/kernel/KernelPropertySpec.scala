@@ -278,6 +278,29 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("validateConsistency fast path matches the split-strip-filter reference") {
+    val keepShort = Set(".", "!", "?", ":", ";")
+    def ref(text: String): String =
+      Py.splitOn(text, '\n').map(Py.strip)
+        .filter(l => Py.pyLen(l) > 2 || keepShort.contains(l))
+        .mkString("\n")
+    val kernel = new TextKernel
+    val edges = Seq(
+      "", ".", "!", "?", ":", ";", ",", "ab", "abc", "ab.", "a b",
+      " abc", "abc ", " . ", ".\n.", "a\nb\nc", "long line here",
+      "🙂🙂", "🙂🙂🙂", "a ", " a", "x\ny lines", "tab\tend\t",
+      "\n", "\n\n", "a\n", "\na")
+    (edges ++ corpus).foreach { t =>
+      assert(kernel.validateConsistency(t) == ref(t),
+        s"validateConsistency fast path diverged on: ${t.take(80)}")
+    }
+    // cleanText's ASCII shortcut: C0 controls and DEL must still force the
+    // rebuild path (i.e. get stripped), printable ASCII must not
+    assert(kernel.cleanText("a\u0001b") == "ab")
+    assert(kernel.cleanText("a\u007Fb") == "ab")
+    assert(kernel.cleanText("ab cd") == "ab cd")
+  }
+
   test("identify's literal prefilter is a sound necessary condition") {
     // the parser derives the expected literals for the inventory's shapes
     assert(SpanTemplates.requiredLiteralCI("""nota\s+fiscal""") == "fiscal")
